@@ -1,0 +1,164 @@
+"""Riemannian (maximum-entropy) normal on the Poincare ball — WORKING.
+
+The reference ships a broken port of pvae's RiemannianNormal
+(/root/reference/hyperbolic_vae/distributions/old_pvae_riemannian_normal.py:12-70,
+docstring: "doesn't work due to issues with HyperbolicRadius"), yet the
+driver's replication-grid config requires it. This is a from-scratch,
+jit-friendly implementation:
+
+Density:     p(z | mu, sigma) = exp(-d(mu, z)^2 / (2 sigma^2)) / Z(sigma)
+Sampling:    direction alpha ~ Uniform(S^{d-1}) in T_mu,
+             radius r ~ p(r) ∝ exp(-r^2/(2 sigma^2)) * (sinh(sqrt(c) r)/sqrt(c))^{d-1},
+             z = exp_mu(alpha * r / lambda_mu)   (tangent vector of Riemannian norm r)
+
+Normalizer (closed form, used for log_prob): with n = d-1, a_k = (n-2k) sqrt(c),
+    Z_r(sigma) = 2^{-n} c^{-n/2} sum_k C(n,k) (-1)^k
+                 * sigma sqrt(pi/2) exp(a_k^2 sigma^2 / 2) (1 + erf(a_k sigma / sqrt 2))
+    Z = A_{d-1} * Z_r,  A_{d-1} = 2 pi^{d/2} / Gamma(d/2)
+computed in log space with signed logsumexp and an asymptotically-stable
+log[exp(t^2)(1+erf(t))] helper — this is precisely the numerical failure
+mode of the pvae original.
+
+Radius sampling is inverse-CDF on a static 512-point grid (static shapes,
+lowers cleanly to XLA); because the grid CDF is built from differentiable
+ops, pathwise gradients w.r.t. sigma flow through the interpolation
+(implicit-reparameterization style).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf, gammaln, logsumexp
+
+from hyperbolic_vae_tpu.manifolds import PoincareBall, log_sinh_ratio
+
+_GRID_SIZE = 512
+
+
+def _log_gauss_tail_term(t: jax.Array) -> jax.Array:
+    """log[ exp(t^2) * (1 + erf(t)) ], stable for all t.
+
+    For t >= -4: direct.  For t << 0: 1+erf(t) = erfc(-t) and
+    exp(t^2) erfc(-t) = erfcx(-t) ~ 1/(-t sqrt(pi)) * (1 - 1/(2t^2) + 3/(4t^4)).
+    """
+    direct = t * t + jnp.log(jnp.maximum(1.0 + erf(t), 1e-38))
+    s = jnp.maximum(-t, 4.0)  # asymptotic branch variable, keep NaN-free
+    inv2 = 1.0 / (2.0 * s * s)
+    asym = -jnp.log(s * math.sqrt(math.pi)) + jnp.log1p(-inv2 + 3.0 * inv2 * inv2)
+    return jnp.where(t >= -4.0, direct, asym)
+
+
+def log_radius_normalizer(sigma: jax.Array, c: float, dim: int) -> jax.Array:
+    """log Z_r(sigma) = log Integral_0^inf exp(-r^2/2s^2) (sinh(sqrt c r)/sqrt c)^{d-1} dr."""
+    n = dim - 1
+    if n == 0:
+        # half-Gaussian integral
+        return jnp.log(sigma) + 0.5 * math.log(math.pi / 2.0)
+    sqrt_c = math.sqrt(c)
+    k = jnp.arange(n + 1, dtype=jnp.float32)
+    log_binom = (
+        gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+    )
+    sign = jnp.where(k % 2 == 0, 1.0, -1.0)
+    a_k = (n - 2.0 * k) * sqrt_c  # (n+1,)
+    sigma = jnp.asarray(sigma)
+    t = a_k * sigma[..., None] / math.sqrt(2.0)  # (..., n+1)
+    log_terms = (
+        log_binom
+        + _log_gauss_tail_term(t)
+        + jnp.log(sigma)[..., None]
+        + 0.5 * math.log(math.pi / 2.0)
+    )
+    log_sum, sgn = logsumexp(log_terms, b=sign, axis=-1, return_sign=True)
+    # The alternating sum is mathematically positive; sgn==1 on valid inputs.
+    const = -n * math.log(2.0) - n * math.log(sqrt_c)
+    return const + log_sum
+
+
+def log_sphere_area(dim: int) -> float:
+    """log area of the unit sphere S^{d-1} in R^d."""
+    return math.log(2.0) + (dim / 2.0) * math.log(math.pi) - math.lgamma(dim / 2.0)
+
+
+def _log_radius_density_unnorm(r: jax.Array, sigma: jax.Array, c: float, dim: int) -> jax.Array:
+    """Unnormalized log p(r) ∝ -r^2/(2 s^2) + (d-1) log(sinh(sqrt c r)/sqrt c)."""
+    sqrt_c = math.sqrt(c)
+    t = sqrt_c * r
+    # log sinh(t)/sqrt(c) = log(sinh(t)/t) + log(t) - log(sqrt c) = log_sinh_ratio + log(r)
+    log_sinh_term = log_sinh_ratio(t) + jnp.log(jnp.maximum(r, 1e-30))
+    return -(r * r) / (2.0 * sigma * sigma) + (dim - 1) * log_sinh_term
+
+
+def sample_radius(
+    key: jax.Array, sigma: jax.Array, c: float, dim: int, grid_size: int = _GRID_SIZE
+) -> jax.Array:
+    """Inverse-CDF radius sample, one per element of ``sigma``. Differentiable
+    w.r.t. sigma through the grid CDF."""
+    sigma = jnp.asarray(sigma, dtype=jnp.float32)
+    # Mode of p(r) is near (d-1) sqrt(c) sigma^2 for large arg; cover mode + 8 sigma.
+    r_max = (dim - 1) * math.sqrt(c) * sigma * sigma + 8.0 * sigma + 1e-2
+    grid = jnp.linspace(0.0, 1.0, grid_size, dtype=jnp.float32)
+    r_grid = r_max[..., None] * grid  # (..., G)
+    logp = _log_radius_density_unnorm(r_grid, sigma[..., None], c, dim)
+    logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+    p = jnp.exp(logp)
+    # trapezoid cumulative sum -> CDF
+    dr = r_grid[..., 1:] - r_grid[..., :-1]
+    seg = 0.5 * (p[..., 1:] + p[..., :-1]) * dr
+    cdf = jnp.concatenate([jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], 1e-30)
+    u = jax.random.uniform(key, sigma.shape, dtype=jnp.float32, minval=1e-6, maxval=1.0 - 1e-6)
+    # invert: find segment where cdf >= u, linear interp
+    idx = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1) - 1
+    idx = jnp.clip(idx, 0, grid_size - 2)
+    c0 = jnp.take_along_axis(cdf, idx[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf, idx[..., None] + 1, axis=-1)[..., 0]
+    r0 = jnp.take_along_axis(r_grid, idx[..., None], axis=-1)[..., 0]
+    r1 = jnp.take_along_axis(r_grid, idx[..., None] + 1, axis=-1)[..., 0]
+    w = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
+    return r0 + w * (r1 - r0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RiemannianNormal:
+    """p(z | loc, scale) ∝ exp(-d(loc, z)^2 / (2 scale^2)) on the ball.
+
+    ``scale`` is isotropic per event: shape (..., 1), clamped to the
+    reference's [0.1, 7.0] (old_pvae_riemannian_normal.py:30).
+    """
+
+    loc: jax.Array
+    scale: jax.Array
+    manifold: PoincareBall
+
+    @property
+    def _scale(self) -> jax.Array:
+        return jnp.clip(self.scale, 0.1, 7.0)
+
+    @property
+    def dim(self) -> int:
+        return self.loc.shape[-1]
+
+    def rsample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()) -> jax.Array:
+        ball = self.manifold
+        loc = jnp.broadcast_to(self.loc, tuple(sample_shape) + self.loc.shape)
+        scale = jnp.broadcast_to(self._scale, loc.shape[:-1] + (1,))
+        k_dir, k_rad = jax.random.split(key)
+        alpha = jax.random.normal(k_dir, loc.shape, dtype=jnp.float32)
+        alpha = alpha / jnp.maximum(jnp.linalg.norm(alpha, axis=-1, keepdims=True), 1e-12)
+        r = sample_radius(k_rad, scale[..., 0], ball.c, self.dim)[..., None]
+        u = alpha * r / ball.lambda_x(loc)  # tangent vector with Riemannian norm r
+        return ball.expmap(loc, u)
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        ball = self.manifold
+        scale = self._scale[..., 0]
+        d = ball.dist(self.loc, z)
+        log_z_r = log_radius_normalizer(scale, ball.c, self.dim)
+        log_norm = log_sphere_area(self.dim) + log_z_r
+        return -(d * d) / (2.0 * scale * scale) - log_norm

@@ -1,0 +1,14 @@
+from hyperbolic_vae_tpu.optim.riemannian_adam import (
+    RiemannianAdamState,
+    manifold_label_tree,
+    riemannian_adam,
+)
+from hyperbolic_vae_tpu.optim.schedules import EarlyStopping, ReduceLROnPlateau
+
+__all__ = [
+    "riemannian_adam",
+    "RiemannianAdamState",
+    "manifold_label_tree",
+    "ReduceLROnPlateau",
+    "EarlyStopping",
+]

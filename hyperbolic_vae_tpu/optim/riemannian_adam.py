@@ -1,0 +1,123 @@
+"""Riemannian Adam as an optax gradient transformation.
+
+Replaces ``geoopt.optim.RiemannianAdam`` (the reference's optimizer for
+every hyperbolic model, e.g.
+/root/reference/hyperbolic_vae/models/vae_one_b.py:269-274). Per-leaf
+behavior:
+
+  * Euclidean leaves: exactly optax Adam (with bias correction).
+  * Manifold leaves (flax param name starting with ``mp_``, i.e. points
+    on the Poincare ball):
+      1. riemannian gradient  g_r = egrad / lambda_x^2
+      2. exp_avg    <- b1 * exp_avg    + (1-b1) * g_r
+      3. exp_avg_sq <- b2 * exp_avg_sq + (1-b2) * lambda_x^2 * g_r^2
+         (geoopt's ``component_inner`` second moment)
+      4. direction = exp_avg_hat / (sqrt(exp_avg_sq_hat) + eps)
+      5. new_point = expmap_x(-lr * direction)   (exact retraction)
+      6. exp_avg <- parallel transport of exp_avg from x to new_point
+      7. project new_point into the ball (geoopt's ``stabilize``)
+
+This is NOT a translation of geoopt's CUDA/torch loop: the whole update
+is a pure pytree map under jit, so XLA fuses the moment updates with the
+expmap/transport math into one kernel per parameter.
+
+Because the update needs the CURRENT PARAMS (expmap base point) and optax
+updates are param-free by default, use ``update(grads, state, params)``
+— params are required (like optax's weight-decay transforms), and apply
+via ``apply_updates_riemannian`` which REPLACES manifold leaves instead
+of adding deltas. A sentinel marker in the update leaf tells the apply
+function which leaves are replacements.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.nn.layers import MANIFOLD_PARAM_PREFIX
+
+
+class RiemannianAdamState(NamedTuple):
+    count: jax.Array
+    exp_avg: Any
+    exp_avg_sq: Any
+
+
+def manifold_label_tree(params) -> Any:
+    """Pytree of booleans: True where the leaf is a manifold point.
+
+    Detection is by flax param name convention (``mp_`` prefix anywhere
+    in the path), the static equivalent of geoopt's ManifoldParameter.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    labels = []
+    for path, _ in flat:
+        is_manifold = any(
+            str(getattr(k, "key", getattr(k, "name", k))).startswith(MANIFOLD_PARAM_PREFIX)
+            for k in path
+        )
+        labels.append(is_manifold)
+    return jax.tree_util.tree_unflatten(treedef, labels)
+
+
+def riemannian_adam(
+    learning_rate: float | optax.Schedule = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    ball: Optional[PoincareBall] = None,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Build the transformation. ``ball`` is the manifold for every
+    manifold-tagged leaf (all reference models share one ball)."""
+
+    ball = ball or PoincareBall(c=1.0)
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return RiemannianAdamState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=zeros,
+            exp_avg_sq=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("riemannian_adam requires params in update()")
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        labels = manifold_label_tree(params)
+
+        def leaf_update(is_manifold, g, p, m, v):
+            if weight_decay:
+                g = g + weight_decay * p
+            if is_manifold:
+                g = ball.egrad2rgrad(p, g)
+                new_m = b1 * m + (1.0 - b1) * g
+                new_v = b2 * v + (1.0 - b2) * ball.component_inner(p, g)
+                direction = (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
+                new_p, transported_m = ball.retr_transp(p, -lr * direction, new_m)
+                new_p = ball.project(new_p)
+                # "update" = new point minus old (apply adds it back);
+                # exact because apply_updates does p + (new_p - p).
+                return new_p - p, transported_m, new_v
+            new_m = b1 * m + (1.0 - b1) * g
+            new_v = b2 * v + (1.0 - b2) * g * g
+            update = -lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
+            return update, new_m, new_v
+
+        # tree.map over 5 aligned trees; labels is a prefix-compatible tree
+        flat_updates = jax.tree.map(leaf_update, labels, grads, params, state.exp_avg, state.exp_avg_sq)
+        updates = jax.tree.map(lambda t: t[0], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
+        new_m = jax.tree.map(lambda t: t[1], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
+        new_v = jax.tree.map(lambda t: t[2], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
+        return updates, RiemannianAdamState(count=count, exp_avg=new_m, exp_avg_sq=new_v)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,66 @@
+"""Training-control utilities: ReduceLROnPlateau and EarlyStopping.
+
+Re-implements the Lightning/torch semantics the reference relies on:
+  * torch ReduceLROnPlateau(mode="min", factor=0.2, patience=20,
+    min_lr=5e-5) monitoring val/loss_total
+    (/root/reference/hyperbolic_vae/models/vae_hyperbolic.py:236-243).
+  * Lightning EarlyStopping(monitor="val/loss_total", patience=10)
+    (/root/reference/hyperbolic_vae/training/trainer_mnist.py:34).
+
+These are host-side (per-epoch, not per-step) controllers: plain Python
+dataclasses mutated between jitted epochs, with their scalar output (the
+lr) fed into the jitted step as an argument — so no recompilation on lr
+change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """torch-semantics plateau scheduler (mode='min', default threshold
+    semantics: rel threshold 1e-4)."""
+
+    lr: float
+    factor: float = 0.2
+    patience: int = 20
+    min_lr: float = 5e-5
+    threshold: float = 1e-4
+    best: float = math.inf
+    num_bad_epochs: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad_epochs = 0
+        return self.lr
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Lightning-semantics early stopping (mode='min', min_delta=0)."""
+
+    patience: int = 10
+    min_delta: float = 0.0
+    best: float = math.inf
+    wait: int = 0
+    stopped: bool = False
+
+    def step(self, metric: float) -> bool:
+        """Returns True if training should stop."""
+        if metric < self.best - self.min_delta:
+            self.best = metric
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.stopped = True
+        return self.stopped
