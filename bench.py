@@ -1,0 +1,106 @@
+"""Headline benchmark: flagship MNIST hyperbolic VAE train throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+value       = train samples/sec/chip of the jitted full-epoch training
+              loop (GyroplaneVAE, batch 256, Poincare 2-D latent, c=1.0)
+              on the available accelerator (TPU under axon; driver runs
+              this on real hardware).
+vs_baseline = value / (PyTorch-CPU per-step baseline samples/sec).
+              The reference publishes no numbers (BASELINE.md), so the
+              baseline is self-measured once by benchmarks/torch_baseline.py
+              (an independent torch implementation of the same math with
+              the reference's per-step dispatch structure) and cached in
+              BASELINE_TORCH.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+BASELINE_FILE = REPO_ROOT / "BASELINE_TORCH.json"
+BATCH_SIZE = 256
+N_TRAIN = 60000
+TIMED_EPOCHS = 3
+
+
+def get_torch_baseline() -> float:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())["samples_per_sec"]
+    from benchmarks.torch_baseline import measure_samples_per_sec
+
+    sps = measure_samples_per_sec(batch_size=BATCH_SIZE)
+    BASELINE_FILE.write_text(
+        json.dumps(
+            {
+                "samples_per_sec": sps,
+                "what": "torch-CPU per-step flagship equivalent (benchmarks/torch_baseline.py)",
+                "batch_size": BATCH_SIZE,
+            }
+        )
+    )
+    return sps
+
+
+def bench_jax() -> float:
+    import jax
+
+    from hyperbolic_vae_tpu.data import mnist
+    from hyperbolic_vae_tpu.models import GyroplaneVAE
+    from hyperbolic_vae_tpu.train import Trainer
+
+    dm = mnist.make_data_module(batch_size=BATCH_SIZE, synthetic=True, n_train=N_TRAIN, n_test=512)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2, manifold_curvature=1.0)
+    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None, check_finite=False)
+
+    import jax.numpy as jnp
+
+    params = trainer.init_params(dm.x_train)
+    opt_state = trainer._optimizer.init(params)
+    x_train = jnp.asarray(dm.x_train)
+    n_train = int(x_train.shape[0])
+    train_epoch, _ = trainer._build_epoch_fns(n_train, dm.batch_size, 512)
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup epoch
+    key, k = jax.random.split(key)
+    params, opt_state, ms = train_epoch(params, opt_state, x_train, k)
+    jax.block_until_ready(ms["loss_total"])
+
+    steps = n_train // dm.batch_size
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        key, k = jax.random.split(key)
+        params, opt_state, ms = train_epoch(params, opt_state, x_train, k)
+    jax.block_until_ready(ms["loss_total"])
+    dt = time.perf_counter() - t0
+    assert float(ms["loss_total"]) == float(ms["loss_total"]), "NaN loss in bench"
+    n_chips = max(jax.device_count(), 1)
+    return TIMED_EPOCHS * steps * dm.batch_size / dt / n_chips
+
+
+def main():
+    value = bench_jax()
+    baseline = get_torch_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "mnist_gyroplane_vae_train_throughput",
+                "value": round(value, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

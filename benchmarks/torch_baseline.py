@@ -1,0 +1,162 @@
+"""PyTorch-CPU baseline for the flagship config, written from scratch.
+
+The reference stack is torch-CPU wheels + pytorch-lightning with
+devices=1 (SURVEY section 0); geoopt is not installed in this image, so
+this is an independent torch implementation of the same math (wrapped
+normal on the Poincare ball + gyroplane decoder + per-step Adam) used
+ONLY to measure baseline samples/sec for bench.py's ``vs_baseline``.
+It mirrors the reference's per-step Python dispatch structure (one
+optimizer step per DataLoader batch) — precisely the overhead the
+TPU full-epoch-jit design removes.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+MIN_NORM = 1e-15
+
+
+class TorchBall:
+    def __init__(self, c: float = 1.0):
+        self.c = c
+        self.sqrt_c = math.sqrt(c)
+
+    def lambda_x(self, x):
+        return 2.0 / (1.0 - self.c * x.pow(2).sum(-1, keepdim=True)).clamp_min(MIN_NORM)
+
+    def mobius_add(self, x, y):
+        c = self.c
+        x2 = x.pow(2).sum(-1, keepdim=True)
+        y2 = y.pow(2).sum(-1, keepdim=True)
+        xy = (x * y).sum(-1, keepdim=True)
+        num = (1 + 2 * c * xy + c * y2) * x + (1 - c * x2) * y
+        return num / (1 + 2 * c * xy + c * c * x2 * y2).clamp_min(MIN_NORM)
+
+    def expmap(self, x, u):
+        u_norm = u.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
+        second = (
+            torch.tanh(self.sqrt_c * self.lambda_x(x) * u_norm / 2)
+            * u
+            / (self.sqrt_c * u_norm)
+        )
+        return self.mobius_add(x, second)
+
+    def expmap0(self, u):
+        u_norm = u.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
+        return torch.tanh(self.sqrt_c * u_norm) * u / (self.sqrt_c * u_norm)
+
+    def logmap(self, x, y):
+        sub = self.mobius_add(-x, y)
+        sub_norm = sub.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
+        return (
+            2.0
+            / (self.sqrt_c * self.lambda_x(x))
+            * torch.atanh((self.sqrt_c * sub_norm).clamp(max=1 - 1e-6))
+            * sub
+            / sub_norm
+        )
+
+    def dist(self, x, y):
+        sub_norm = self.mobius_add(-x, y).norm(dim=-1, keepdim=True)
+        return 2.0 / self.sqrt_c * torch.atanh((self.sqrt_c * sub_norm).clamp(max=1 - 1e-6))
+
+    def transp0(self, y, v):
+        return v * (1.0 - self.c * y.pow(2).sum(-1, keepdim=True)).clamp_min(MIN_NORM)
+
+    def transp0back(self, y, v):
+        return v * self.lambda_x(y) / 2.0
+
+    def logdetexp(self, x, y):
+        d = self.dist(x, y)
+        t = (self.sqrt_c * d).clamp_min(1e-7)
+        dim = x.shape[-1]
+        return (dim - 1) * (torch.sinh(t).log() - math.log(self.sqrt_c) - d.clamp_min(1e-7).log())
+
+    def dist2plane(self, x, p, a, signed=True):
+        diff = self.mobius_add(-p, x)
+        diff_norm2 = diff.pow(2).sum(-1).clamp_min(MIN_NORM)
+        sc = (diff * a).sum(-1)
+        if not signed:
+            sc = sc.abs()
+        a_norm = a.norm(dim=-1).clamp_min(MIN_NORM)
+        num = 2 * self.sqrt_c * sc
+        denom = ((1 - self.c * diff_norm2) * a_norm).clamp_min(MIN_NORM)
+        return torch.asinh(num / denom) / self.sqrt_c
+
+
+class TorchGyroplaneVAE(nn.Module):
+    def __init__(self, data_numel=784, latent=2, c=1.0, hidden=(64, 16)):
+        super().__init__()
+        self.ball = TorchBall(c)
+        self.enc = nn.Sequential(
+            nn.Linear(data_numel, hidden[0]), nn.GELU(), nn.Linear(hidden[0], hidden[1]), nn.GELU()
+        )
+        self.mu = nn.Linear(hidden[1], latent)
+        self.scale = nn.Linear(hidden[1], latent)
+        self.points = nn.Parameter(torch.randn(hidden[1], latent) * 0.3)
+        self.plane_bias = nn.Parameter(torch.zeros(hidden[1]))
+        self.dec = nn.Sequential(
+            nn.GELU(), nn.Linear(hidden[1], hidden[0]), nn.GELU(), nn.Linear(hidden[0], data_numel), nn.Sigmoid()
+        )
+
+    def forward(self, x):
+        ball = self.ball
+        h = self.enc(x)
+        mu = ball.expmap0(self.mu(h))
+        scale = F.softplus(self.scale(h))
+        eps = torch.randn_like(scale)
+        v = scale * eps / 2.0
+        z = ball.expmap(mu, ball.transp0(mu, v))
+        pts = ball.expmap0(self.points)
+        d = ball.dist2plane(z.unsqueeze(1), pts, pts, signed=True) + self.plane_bias
+        x_hat = self.dec(d)
+        return mu, scale, z, x_hat
+
+    def loss(self, x):
+        ball = self.ball
+        mu, scale, z, x_hat = self(x)
+        qx_z = torch.distributions.RelaxedBernoulli(
+            temperature=torch.tensor(1.0), probs=x_hat.clamp(1e-6, 1 - 1e-6)
+        )
+        recon = -qx_z.log_prob(x.clamp(1e-6, 1 - 1e-6)).sum(-1)
+
+        def log_prob(loc, s, value):
+            v = ball.logmap(loc, value)
+            u = ball.transp0back(loc, v) * 2.0
+            norm_pdf = torch.distributions.Normal(torch.zeros_like(s), s).log_prob(u).sum(-1)
+            return norm_pdf - ball.logdetexp(loc, value).squeeze(-1)
+
+        log_q = log_prob(mu, scale, z)
+        log_p = log_prob(torch.zeros_like(mu), torch.ones_like(scale), z)
+        return (recon + (log_q - log_p)).mean()
+
+
+def measure_samples_per_sec(batch_size=256, steps=30, warmup=5, data_numel=784) -> float:
+    torch.manual_seed(0)
+    torch.set_num_threads(torch.get_num_threads())
+    model = TorchGyroplaneVAE(data_numel=data_numel)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    x = torch.rand(batch_size, data_numel)
+    for _ in range(warmup):
+        opt.zero_grad()
+        loss = model.loss(x)
+        loss.backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = model.loss(x)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+if __name__ == "__main__":
+    print(measure_samples_per_sec())

@@ -1,0 +1,42 @@
+"""Shared experiment plumbing: CLI args, logging, run dirs.
+
+The reference hard-codes hyperparameters per script (SURVEY section 5.6);
+here each experiment keeps one runnable module (same UX) but with a
+typed CLI for overrides, and a ``--synthetic`` flag because this
+container has no network egress for dataset downloads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from hyperbolic_vae_tpu.utils import RUNS_PATH, configure_handler_for_script  # noqa: E402
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data-dir", type=str, default="data")
+    p.add_argument("--synthetic", action="store_true", help="use seeded synthetic data (no downloads)")
+    p.add_argument("--n-train", type=int, default=60000, help="synthetic train size")
+    p.add_argument("--run-dir", type=str, default=None)
+    p.add_argument("--no-early-stopping", action="store_true")
+    p.add_argument("--use-mesh", action="store_true", help="shard over all local devices")
+    p.add_argument("--log-level", type=str, default="INFO")
+    return p
+
+
+def setup(args, name: str) -> Path:
+    configure_handler_for_script(args.log_level)
+    run_dir = Path(args.run_dir) if args.run_dir else RUNS_PATH / name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir

@@ -1,0 +1,78 @@
+"""Experiment 9: pvae-replication grid — WrappedNormal vs
+RiemannianNormal posteriors with IWAE evaluation.
+
+Reference: /root/reference/scripts/_9_pvae_replicate.py records the
+target config (784 -> 600 ReLU -> 2, batch 128, lr 5e-4, 80 epochs,
+5000-sample IWAE eval; :5-30, :200-210) but is itself a SyntaxError
+(:190-198). This is the runnable version, including the
+RiemannianNormal path the reference never got working.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from common import base_parser, setup
+
+from hyperbolic_vae_tpu.data import mnist
+from hyperbolic_vae_tpu.models import PvaeMLPVAE
+from hyperbolic_vae_tpu.train import Trainer
+
+
+def iwae_eval(model, params, dm, k: int, seed: int = 0, chunk: int = 256) -> float:
+    """K-sample IWAE on the test split, chunked to bound memory."""
+    vals = []
+    x_test = dm.x_test
+    n = (len(x_test) // chunk) * chunk
+    f = jax.jit(
+        lambda x, key: model.apply(
+            {"params": params}, x, k, method="iwae", rngs={"sample": key}
+        )
+    )
+    for i in range(0, n, chunk):
+        key = jax.random.PRNGKey(seed + i)
+        vals.append(float(f(jnp.asarray(x_test[i : i + chunk]), key)))
+    return sum(vals) / max(len(vals), 1)
+
+
+if __name__ == "__main__":
+    parser = base_parser(__doc__)
+    parser.add_argument("--posteriors", type=str, nargs="+", default=["wrapped", "riemannian"])
+    parser.add_argument("--curvatures", type=float, nargs="+", default=[1.0])
+    parser.add_argument("--latent-dims", type=int, nargs="+", default=[2])
+    parser.add_argument("--iwae-k", type=int, default=5000)
+    parser.set_defaults(epochs=80, batch_size=128, lr=5e-4)
+    args = parser.parse_args()
+    run_dir = setup(args, "pvae_replicate")
+    dm = mnist.make_data_module(
+        batch_size=args.batch_size, data_dir=args.data_dir,
+        synthetic=args.synthetic, n_train=args.n_train,
+    )
+    results = {}
+    for posterior in args.posteriors:
+        for c in args.curvatures:
+            for d in args.latent_dims:
+                tag = f"{posterior}_c{c}_d{d}"
+                model = PvaeMLPVAE(
+                    data_shape=dm.input_shape,
+                    latent_dim=d,
+                    manifold_curvature=c,
+                    posterior=posterior,
+                    lr=args.lr,
+                )
+                trainer = Trainer(
+                    model,
+                    lr=args.lr,
+                    max_epochs=args.epochs,
+                    seed=args.seed,
+                    early_stopping_patience=None if args.no_early_stopping else 10,
+                    log_dir=str(run_dir / tag),
+                    use_mesh=args.use_mesh,
+                )
+                result = trainer.fit(dm)
+                iwae = iwae_eval(model, result.best_params, dm, args.iwae_k)
+                results[tag] = {
+                    "best_val": result.best_metric,
+                    f"iwae_{args.iwae_k}": iwae,
+                }
+                print(tag, results[tag])
+    print(results)

@@ -1,0 +1,155 @@
+"""Conv image VAE with Poincare latent and configurable manifold layers.
+
+Re-design of ImageVAEHyperbolic/VAEHyperbolicExperiment
+(/root/reference/hyperbolic_vae/models/vae_hyperbolic.py:38-295):
+
+  encoder: Conv(16,s2) -> Conv(32,s2) -> Conv(32,s2) (GELU) -> flatten
+  encoder last layer ("linear" Dense + expmap0 | "mobius" MobiusLayer)
+  log_var head (zeroed under the bernoulli loss, ref :113-116)
+  z ~ WrappedNormal(mu_on_ball, exp(0.5 log_var)), 1 sample
+  decoder first layer ("linear" | "geodesic" | "mobius" |
+                       "geoopt_gyroplane") (ref :76-89)
+  conv-transpose stack back to the image; sigmoid under mse (ref :106-107)
+  loss: MC KL summed over batch (ref :216) + recon (sum-MSE, or
+        RelaxedBernoulli(T=0.1, logits) mean NLL, ref :218-227)
+
+Requires H, W divisible by 8 (three stride-2 convs); MNIST experiments
+pad 28->32 like the reference's declared image_shape (ref :135 — the
+reference's 28-vs-32 inconsistency is resolved by explicit padding,
+SURVEY section 2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from hyperbolic_vae_tpu.distributions import (
+    relaxed_bernoulli_log_prob,
+    wrapped_normal_log_prob,
+    wrapped_normal_rsample,
+)
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.nn import GeodesicLayer, MobiusLayer, PoincareHyperplanes
+
+
+class HyperbolicImageVAE(fnn.Module):
+    data_shape: Sequence[int] = (32, 32, 1)
+    latent_dim: int = 2
+    manifold_curvature: float = 1.0
+    encoder_last_layer_module: str = "linear"  # "linear" | "mobius"
+    decoder_first_layer_module: str = "linear"  # +"geodesic"|"mobius"|"geoopt_gyroplane"
+    beta: float = 1.0
+    lr: float = 1e-3
+    loss_recon: str = "mse"  # "mse" | "bernoulli"
+
+    @property
+    def ball(self) -> PoincareBall:
+        return PoincareBall(c=self.manifold_curvature)
+
+    @property
+    def encoder_out_channels(self) -> int:
+        h, w = self.data_shape[0], self.data_shape[1]
+        return 32 * (h // 8) * (w // 8)
+
+    def setup(self):
+        ball = self.ball
+        self.conv1 = fnn.Conv(16, (3, 3), strides=2, padding=1)
+        self.conv2 = fnn.Conv(32, (3, 3), strides=2, padding=1)
+        self.conv3 = fnn.Conv(32, (3, 3), strides=2, padding=1)
+        if self.encoder_last_layer_module == "linear":
+            self.mu_head = fnn.Dense(self.latent_dim, name="mu")
+        elif self.encoder_last_layer_module == "mobius":
+            self.mu_head = MobiusLayer(
+                self.encoder_out_channels, self.latent_dim, ball, name="mu_mobius"
+            )
+        else:
+            raise ValueError(self.encoder_last_layer_module)
+        self.log_var_head = fnn.Dense(self.latent_dim, name="log_var")
+        d = self.decoder_first_layer_module
+        if d == "linear":
+            self.dec_first = fnn.Dense(self.encoder_out_channels)
+        elif d == "geodesic":
+            self.dec_first = GeodesicLayer(self.latent_dim, self.encoder_out_channels, ball)
+        elif d == "mobius":
+            self.dec_first = MobiusLayer(self.latent_dim, self.encoder_out_channels, ball)
+        elif d == "geoopt_gyroplane":
+            self.dec_first = PoincareHyperplanes(
+                plane_shape=self.latent_dim,
+                num_planes=self.encoder_out_channels,
+                ball=ball,
+            )
+        else:
+            raise ValueError(d)
+        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding="SAME")
+        self.conv4 = fnn.Conv(32, (3, 3), padding=1)
+        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding="SAME")
+        self.conv5 = fnn.Conv(16, (3, 3), padding=1)
+        self.deconv3 = fnn.ConvTranspose(
+            self.data_shape[2], (3, 3), strides=(2, 2), padding="SAME"
+        )
+
+    def encode(self, x):
+        """Returns (mu_on_manifold, scale)."""
+        h = fnn.gelu(self.conv1(x))
+        h = fnn.gelu(self.conv2(h))
+        h = fnn.gelu(self.conv3(h))
+        h = h.reshape(h.shape[0], -1)
+        mu = self.mu_head(h)
+        if self.encoder_last_layer_module == "linear":
+            mu = self.ball.expmap0(mu)
+        if self.loss_recon == "bernoulli":
+            log_var = jnp.zeros_like(mu)  # ref :113-116
+        else:
+            log_var = self.log_var_head(h)
+        return mu, jnp.exp(0.5 * log_var)
+
+    def decode(self, z):
+        h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8
+        h = fnn.gelu(self.dec_first(z))
+        h = h.reshape(z.shape[0], h8, w8, 32)
+        h = fnn.gelu(self.deconv1(h))
+        h = fnn.gelu(self.conv4(h))
+        h = fnn.gelu(self.deconv2(h))
+        h = fnn.gelu(self.conv5(h))
+        h = self.deconv3(h)
+        if self.loss_recon == "mse":
+            h = fnn.sigmoid(h)  # ref :106-107
+        return h
+
+    def __call__(self, x):
+        mu, scale = self.encode(x)
+        z = wrapped_normal_rsample(self.make_rng("sample"), self.ball, mu, scale)
+        x_hat = self.decode(z)
+        return {"mu": mu, "scale": scale, "z": z, "x_hat": x_hat}
+
+    def loss(self, x):
+        """{loss_total, loss_recon, loss_kl}: KL summed over the batch,
+        recon per the configured likelihood (ref :177-233)."""
+        ball = self.ball
+        out = self(x)
+        mu, scale, z, x_hat = out["mu"], out["scale"], out["z"], out["x_hat"]
+        log_q = wrapped_normal_log_prob(ball, mu, scale, z)
+        origin = jnp.zeros((self.latent_dim,), jnp.float32)
+        log_p = wrapped_normal_log_prob(ball, origin, jnp.ones((self.latent_dim,)), z)
+        loss_kl = jnp.sum(log_q - log_p)  # ref :216 (sum over batch)
+        if self.loss_recon == "mse":
+            loss_recon = jnp.sum((x_hat - x) ** 2)  # ref :219 reduction="sum"
+        elif self.loss_recon == "bernoulli":
+            xf = x.reshape(x.shape[0], -1)
+            logits = x_hat.reshape(x.shape[0], -1)
+            loss_recon = -jnp.mean(relaxed_bernoulli_log_prob(xf, 0.1, logits=logits))
+        else:
+            raise ValueError(self.loss_recon)
+        return {
+            "loss_total": loss_recon + self.beta * loss_kl,
+            "loss_recon": loss_recon,
+            "loss_kl": loss_kl,
+            "mse": jnp.sum((x_hat - x) ** 2),  # test-time extra metric (ref :261-268)
+        }
+
+    def reconstruct(self, x):
+        return self(x)["x_hat"]

@@ -1,0 +1,86 @@
+"""Hyperbolic VAE for 1-D expression vectors (scRNA-seq).
+
+Re-design of VAEHyperbolicRNASeq
+(/root/reference/hyperbolic_vae/models/vae_hyperbolic_rnaseq.py:21-157):
+Linear encoder -> hidden, mu = Dense + expmap0, scale = Dense + softplus,
+gyroplane decoder first op, sigmoid output; recon = per-sample sum-MSE
+(the NegativeBinomial attempt is commented out in the reference,
+:85-88); MC KL against WrappedNormal(origin, 1).
+
+The ~20k-gene Dense layers are the one place in this model family with
+real MXU work; the encoder matmul is (B, G) x (G, H) — sharding over a
+model axis for this layer lives in parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as fnn
+import jax.numpy as jnp
+
+from hyperbolic_vae_tpu.distributions import (
+    wrapped_normal_log_prob,
+    wrapped_normal_rsample,
+)
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.nn import PoincareHyperplanes
+
+
+class RNASeqVAE(fnn.Module):
+    in_features: int = 2000
+    hidden_dim: int = 100
+    latent_dim: int = 2
+    manifold_curvature: float = 1.0
+    beta: float = 1.0
+    lr: float = 1e-3
+
+    @property
+    def ball(self) -> PoincareBall:
+        return PoincareBall(c=self.manifold_curvature)
+
+    def setup(self):
+        self.enc = fnn.Dense(self.hidden_dim, name="enc")
+        self.mu_head = fnn.Dense(self.latent_dim, name="mu")
+        self.scale_head = fnn.Dense(self.latent_dim, name="scale")
+        self.gyroplanes = PoincareHyperplanes(
+            plane_shape=self.latent_dim,
+            num_planes=self.hidden_dim,
+            ball=self.ball,
+            name="gyroplanes",
+        )
+        self.dec_out = fnn.Dense(self.in_features, name="dec_out")
+
+    def encode(self, x):
+        h = fnn.gelu(self.enc(x))
+        mu = self.ball.expmap0(self.mu_head(h))
+        scale = fnn.softplus(self.scale_head(h))
+        return mu, scale
+
+    def decode(self, z):
+        h = fnn.gelu(self.gyroplanes(z))
+        return fnn.sigmoid(self.dec_out(h))
+
+    def __call__(self, x):
+        mu, scale = self.encode(x)
+        z = wrapped_normal_rsample(self.make_rng("sample"), self.ball, mu, scale)
+        x_hat = self.decode(z)
+        return {"mu": mu, "scale": scale, "z": z, "x_hat": x_hat}
+
+    def loss(self, x):
+        out = self(x)
+        mu, scale, z, x_hat = out["mu"], out["scale"], out["z"], out["x_hat"]
+        recon = jnp.sum((x_hat - x) ** 2, axis=-1)  # per-sample sum-MSE
+        log_q = wrapped_normal_log_prob(self.ball, mu, scale, z)
+        origin = jnp.zeros((self.latent_dim,), jnp.float32)
+        log_p = wrapped_normal_log_prob(self.ball, origin, jnp.ones((self.latent_dim,)), z)
+        kl = log_q - log_p
+        total = jnp.mean(recon + self.beta * kl)
+        return {
+            "loss_total": total,
+            "loss_recon": jnp.mean(recon),
+            "loss_kl": jnp.mean(kl),
+        }
+
+    def reconstruct(self, x):
+        return self(x)["x_hat"]

@@ -172,8 +172,11 @@ class PoincareHyperplanes(fnn.Module):
         points = self.param(
             "mp_points", init_points, (self.num_planes, self.plane_shape)
         )
-        x_exp = x[..., None, :]  # (..., 1, D) vs points (P, D)
-        distance = self.ball.dist2plane(x_exp, points, points, signed=self.signed)
+        # fused formulation: one MXU matmul instead of a (..., P, D)
+        # Mobius-difference intermediate (ops/gyroplane.py)
+        from hyperbolic_vae_tpu.ops.gyroplane import gyroplane_distances
+
+        distance = gyroplane_distances(x, points, self.ball.c, signed=self.signed)
         if self.squared and self.signed:
             distance = jnp.sign(distance) * distance * distance
         elif self.squared:

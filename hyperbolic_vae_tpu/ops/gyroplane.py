@@ -1,0 +1,131 @@
+"""Fused gyroplane-distance ops: the decoder's hot path.
+
+Naive dist2plane over P planes (reference layers.py:193-210 via geoopt)
+materializes the (B, P, D) Mobius difference ``(-p) (+) x`` and reduces
+it on the VPU. But for a = p (the gyroplane layer's convention) every
+term of the distance depends only on |x|^2 (B,), |p|^2 (P,) and <x, p>
+(B, P) — one MXU matmul:
+
+  den   = 1 - 2c<p,x> + c^2 |p|^2 |x|^2
+  alpha = (1 - 2c<p,x> + c|x|^2) / den       (coefficient of -p)
+  beta  = (1 - c|p|^2) / den                 (coefficient of  x)
+  <diff, p> = -alpha |p|^2 + beta <x, p>
+  |diff|^2  = alpha^2 |p|^2 - 2 alpha beta <p,x> + beta^2 |x|^2
+  dist = arsinh(2 sqrt(c) <diff,p> / ((1 - c|diff|^2) |p|)) / sqrt(c)
+
+This turns an O(B P D)-memory VPU computation into a (B,D)x(D,P) matmul
+plus O(B P) elementwise — the MXU formulation. Two implementations:
+
+  * ``gyroplane_distances``: pure jnp (XLA fuses the elementwise tail
+    into the matmul epilogue). Default everywhere.
+  * ``gyroplane_distances_pallas``: a tiled Pallas TPU kernel for large
+    (B, P) that keeps the |x|^2 / |p|^2 row/col stats in VMEM and fuses
+    the epilogue explicitly. Falls back to interpret mode off-TPU.
+
+Both match the reference formula (manifolds.py:41-65 with a = p) to
+float tolerance; see tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from hyperbolic_vae_tpu.manifolds import MIN_NORM
+
+_INTERPRET = None
+
+
+def _interpret_mode() -> bool:
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.devices()[0].platform not in ("tpu",)
+    return _INTERPRET
+
+
+def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None):
+    """Shared elementwise tail: xp (B, P), x2 (B, 1), p2 (1, P) -> (B, P)."""
+    sqrt_c = math.sqrt(c)
+    den = jnp.maximum(1.0 - 2.0 * c * xp + c * c * p2 * x2, MIN_NORM)
+    alpha = (1.0 - 2.0 * c * xp + c * x2) / den
+    beta = (1.0 - c * p2) / den
+    sc_diff_a = -alpha * p2 + beta * xp
+    diff_norm2 = jnp.maximum(
+        alpha * alpha * p2 - 2.0 * alpha * beta * xp + beta * beta * x2, MIN_NORM
+    )
+    if not signed:
+        sc_diff_a = jnp.abs(sc_diff_a)
+    p_norm = jnp.sqrt(jnp.maximum(p2, MIN_NORM**2))
+    num = 2.0 * sqrt_c * sc_diff_a
+    denom = jnp.maximum((1.0 - c * diff_norm2) * p_norm, MIN_NORM)
+    out = jnp.arcsinh(num / denom) / sqrt_c
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def gyroplane_distances(
+    x: jax.Array, points: jax.Array, c: float, signed: bool = True, bias=None
+) -> jax.Array:
+    """Signed distances from x (..., D) to the gyroplanes through
+    ``points`` (P, D) with normals = points. Returns (..., P)."""
+    x = x.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (..., 1)
+    p2 = jnp.sum(points * points, axis=-1)  # (P,)
+    xp = jnp.matmul(x, points.T, preferred_element_type=jnp.float32)  # (..., P)
+    return _epilogue(xp, x2, p2[None, :] if x.ndim > 1 else p2, c, signed, bias)
+
+
+# ---------------------------------------------------------------------- #
+# Pallas kernel: tiles (B, P), full D contraction per tile.
+
+
+def _gyroplane_kernel(x_ref, pt_ref, bias_ref, out_ref, *, c: float, signed: bool):
+    x = x_ref[:]  # (TB, D)
+    p = pt_ref[:]  # (TP, D)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (TB, 1)
+    p2 = jnp.sum(p * p, axis=-1)[None, :]  # (1, TP)
+    xp = jax.lax.dot_general(
+        x, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, TP)
+    out_ref[:] = _epilogue(xp, x2, p2, c, signed, bias_ref[:][None, :])
+
+
+def gyroplane_distances_pallas(
+    x: jax.Array,
+    points: jax.Array,
+    c: float,
+    signed: bool = True,
+    bias=None,
+    block_b: int = 256,
+    block_p: int = 256,
+) -> jax.Array:
+    """Tiled Pallas version for 2-D x (B, D). Requires B % block_b == 0
+    and P % block_p == 0 after clamping blocks to the array sizes."""
+    from jax.experimental import pallas as pl
+
+    assert x.ndim == 2, "pallas path expects (B, D)"
+    B, D = x.shape
+    P = points.shape[0]
+    if bias is None:
+        bias = jnp.zeros((P,), jnp.float32)
+    block_b = min(block_b, B)
+    block_p = min(block_p, P)
+    grid = (pl.cdiv(B, block_b), pl.cdiv(P, block_p))
+    kernel = functools.partial(_gyroplane_kernel, c=c, signed=signed)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, P), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_p, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_p,), lambda i, j: (j,)),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_p), lambda i, j: (i, j)),
+        interpret=_interpret_mode(),
+    )(x.astype(jnp.float32), points.astype(jnp.float32), jnp.asarray(bias, jnp.float32))

@@ -1,0 +1,18 @@
+from hyperbolic_vae_tpu.train.callbacks import (
+    GenerateCallback,
+    LatentGridCallback,
+    LatentScatterCallback,
+)
+from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager
+from hyperbolic_vae_tpu.train.metrics import MetricLogger
+from hyperbolic_vae_tpu.train.trainer import Trainer, TrainResult
+
+__all__ = [
+    "Trainer",
+    "TrainResult",
+    "MetricLogger",
+    "CheckpointManager",
+    "GenerateCallback",
+    "LatentScatterCallback",
+    "LatentGridCallback",
+]

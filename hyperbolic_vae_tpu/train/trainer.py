@@ -1,0 +1,308 @@
+"""The framework's training engine (replaces pytorch-lightning's
+``trainer.fit`` — SURVEY section 1 "the training loop itself is inside
+pytorch-lightning"; here it is ours, designed TPU-first):
+
+  * The ENTIRE epoch is one jit-compiled program: a `lax.scan` over
+    steps with on-device shuffling (jax.random.permutation) and gather —
+    zero host<->device traffic inside an epoch, one metrics transfer per
+    epoch. This is where the >=10x-per-epoch target is won: the torch
+    reference pays Python dispatch + DataLoader IPC per step.
+  * Datasets are staged into HBM once, sharded over the 'data' mesh
+    axis; params are replicated; XLA inserts the gradient psums.
+  * The learning rate lives in the optimizer state via
+    optax.inject_hyperparams, so ReduceLROnPlateau changes it WITHOUT
+    recompiling the epoch program.
+  * Host-side per-epoch controllers mirror the reference semantics:
+    ReduceLROnPlateau(0.2, 20, min 5e-5) + EarlyStopping(patience 10) on
+    val/loss_total (trainer_mnist.py:14-39), Orbax checkpointing
+    (best-on-monitor + last, like Lightning ModelCheckpoint,
+    trainer_mnist.py:22-27), metric namespacing train/ val/ test/.
+  * Numerical sanitization: per-epoch isfinite guard replaces torch's
+    detect_anomaly wrapper (scripts/_6:64); optional jax_debug_nans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hyperbolic_vae_tpu.data.core import ArrayDataModule
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.optim import EarlyStopping, ReduceLROnPlateau, riemannian_adam
+from hyperbolic_vae_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from hyperbolic_vae_tpu.train.metrics import MetricLogger
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    best_params: Any
+    history: list
+    best_metric: float
+    epochs_run: int
+    samples_per_sec: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        lr: Optional[float] = None,
+        max_epochs: int = 300,
+        seed: int = 42,
+        mesh=None,
+        use_mesh: bool = False,
+        monitor: str = "val/loss_total",
+        early_stopping_patience: Optional[int] = 10,
+        plateau_factor: float = 0.2,
+        plateau_patience: int = 20,
+        plateau_min_lr: float = 5e-5,
+        log_dir: Optional[str] = None,
+        checkpoint_dir: Optional[str] = None,
+        callbacks: Sequence = (),
+        check_finite: bool = True,
+        log_every_n_epochs: int = 1,
+    ):
+        self.model = model
+        self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
+        self.max_epochs = max_epochs
+        self.seed = seed
+        self.monitor = monitor
+        self.callbacks = list(callbacks)
+        self.check_finite = check_finite
+        self.log_every_n_epochs = log_every_n_epochs
+
+        ball = getattr(model, "ball", None) or PoincareBall(c=1.0)
+        # only learning_rate is injected (mutable without recompile);
+        # everything else must stay a static Python value
+        self._optimizer = optax.inject_hyperparams(
+            riemannian_adam, static_args=("ball", "b1", "b2", "eps", "weight_decay")
+        )(learning_rate=self.lr, ball=ball)
+
+        self.plateau = ReduceLROnPlateau(
+            lr=self.lr,
+            factor=plateau_factor,
+            patience=plateau_patience,
+            min_lr=plateau_min_lr,
+        )
+        self.early_stopping = (
+            EarlyStopping(patience=early_stopping_patience)
+            if early_stopping_patience
+            else None
+        )
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        self.metric_logger = MetricLogger(log_dir)
+        self.checkpoint_dir = checkpoint_dir
+        self._ckpt_mgr = None
+        if checkpoint_dir:
+            from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt_mgr = CheckpointManager(checkpoint_dir, monitor=monitor)
+
+    # ------------------------------------------------------------------ #
+
+    def _loss_metrics(self, params, batch, sample_key):
+        return self.model.apply(
+            {"params": params}, batch, method="loss", rngs={"sample": sample_key}
+        )
+
+    def _build_epoch_fns(self, n_train: int, batch_size: int, n_val: int):
+        steps = n_train // batch_size
+        model = self.model
+        optimizer = self._optimizer
+
+        def train_epoch(params, opt_state, x_all, key):
+            perm_key, sample_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, n_train)[: steps * batch_size]
+            perm = perm.reshape(steps, batch_size)
+
+            def step(carry, idx):
+                params, opt_state, skey = carry
+                skey, sk = jax.random.split(skey)
+                batch = jnp.take(x_all, idx, axis=0)
+
+                def loss_fn(p):
+                    m = model.apply(
+                        {"params": p}, batch, method="loss", rngs={"sample": sk}
+                    )
+                    return m["loss_total"], m
+
+                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, skey), metrics
+
+            (params, opt_state, _), ms = jax.lax.scan(
+                step, (params, opt_state, sample_key), perm
+            )
+            return params, opt_state, jax.tree.map(jnp.mean, ms)
+
+        eval_batch = min(batch_size, n_val)
+        eval_steps = max(n_val // eval_batch, 1)
+
+        def eval_epoch(params, x_all, key):
+            idx = jnp.arange(eval_steps * eval_batch).reshape(eval_steps, eval_batch)
+
+            def step(skey, batch_idx):
+                skey, sk = jax.random.split(skey)
+                batch = jnp.take(x_all, batch_idx, axis=0)
+                m = model.apply(
+                    {"params": params}, batch, method="loss", rngs={"sample": sk}
+                )
+                return skey, m
+
+            _, ms = jax.lax.scan(step, key, idx)
+            return jax.tree.map(jnp.mean, ms)
+
+        donate = (0, 1)
+        return (
+            jax.jit(train_epoch, donate_argnums=donate),
+            jax.jit(eval_epoch),
+        )
+
+    def _stage(self, x: np.ndarray):
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if self.mesh is not None:
+            # pad to a multiple of the data-axis size for even sharding
+            n_dev = self.mesh.shape["data"]
+            rem = x.shape[0] % n_dev
+            if rem:
+                x = jnp.concatenate([x, x[: n_dev - rem]], axis=0)
+            x = jax.device_put(x, data_sharding(self.mesh, x.ndim))
+        return x
+
+    def init_params(self, sample_batch, key=None):
+        key = key if key is not None else jax.random.PRNGKey(self.seed)
+        k1, k2 = jax.random.split(key)
+        variables = self.model.init(
+            {"params": k1, "sample": k2}, jnp.asarray(sample_batch[:2])
+        )
+        params = variables["params"]
+        if self.mesh is not None:
+            params = jax.device_put(params, replicated(self.mesh))
+        return params
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, dm: ArrayDataModule, params=None) -> TrainResult:
+        key = jax.random.PRNGKey(self.seed)
+        key, init_key = jax.random.split(key)
+        if params is None:
+            params = self.init_params(dm.x_train, init_key)
+        opt_state = self._optimizer.init(params)
+        if self.mesh is not None:
+            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+
+        x_train = self._stage(dm.x_train)
+        x_val = self._stage(dm.x_val)
+        n_train = int(dm.x_train.shape[0])
+        train_epoch, eval_epoch = self._build_epoch_fns(
+            n_train, dm.batch_size, int(dm.x_val.shape[0])
+        )
+
+        self.metric_logger.log_hparams(
+            {
+                "model": self.model,
+                "lr": self.lr,
+                "batch_size": dm.batch_size,
+                "max_epochs": self.max_epochs,
+                "dataset": dm.name,
+            }
+        )
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_start"):
+                cb.on_fit_start(self, dm)
+
+        history = []
+        best_metric = float("inf")
+        best_params = params
+        steps = n_train // dm.batch_size
+        samples_per_epoch = steps * dm.batch_size
+        total_samples = 0
+        t_start = None  # set after the first (compile) epoch
+        epochs_run = 0
+
+        for epoch in range(self.max_epochs):
+            key, ek, vk = jax.random.split(key, 3)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                self.plateau.lr, jnp.float32
+            )
+            params, opt_state, train_ms = train_epoch(params, opt_state, x_train, ek)
+            val_ms = eval_epoch(params, x_val, vk)
+            # one host sync per epoch
+            train_ms = {f"train/{k}": float(v) for k, v in train_ms.items()}
+            val_ms = {f"val/{k}": float(v) for k, v in val_ms.items()}
+            metrics = {**train_ms, **val_ms, "lr": self.plateau.lr, "epoch": epoch}
+            history.append(metrics)
+            epochs_run = epoch + 1
+            if t_start is None:
+                t_start = time.perf_counter()  # exclude compile epoch
+            else:
+                total_samples += samples_per_epoch
+
+            if epoch % self.log_every_n_epochs == 0:
+                self.metric_logger.log_scalars(epoch, metrics)
+
+            if self.check_finite and not np.isfinite(metrics["train/loss_total"]):
+                logger.warning("non-finite train loss at epoch %d: %s", epoch, metrics)
+
+            monitored = metrics.get(self.monitor)
+            if monitored is not None and np.isfinite(monitored):
+                if monitored < best_metric:
+                    best_metric = monitored
+                    best_params = params
+                    if self._ckpt_mgr:
+                        self._ckpt_mgr.save_best(epoch, params, metrics)
+                self.plateau.step(monitored)
+                if self.early_stopping and self.early_stopping.step(monitored):
+                    logger.info("early stopping at epoch %d", epoch)
+                    for cb in self.callbacks:
+                        if hasattr(cb, "on_epoch_end"):
+                            cb.on_epoch_end(self, epoch, params, metrics)
+                    break
+
+            for cb in self.callbacks:
+                if hasattr(cb, "on_epoch_end"):
+                    cb.on_epoch_end(self, epoch, params, metrics)
+
+        if self._ckpt_mgr:
+            self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
+        elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
+        sps = total_samples / elapsed if total_samples else 0.0
+        self.metric_logger.close()
+        return TrainResult(
+            params=params,
+            best_params=best_params,
+            history=history,
+            best_metric=best_metric,
+            epochs_run=epochs_run,
+            samples_per_sec=sps,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def evaluate(self, dm: ArrayDataModule, params, split: str = "test") -> dict:
+        x = self._stage(getattr(dm, f"x_{split}"))
+        n = int(getattr(dm, f"x_{split}").shape[0])
+        _, eval_epoch = self._build_epoch_fns(
+            max(n, dm.batch_size), dm.batch_size, n
+        )
+        ms = eval_epoch(params, x, jax.random.PRNGKey(self.seed + 1))
+        return {f"{split}/{k}": float(v) for k, v in ms.items()}
+
+    def encode_split(self, dm: ArrayDataModule, params, split: str = "val"):
+        """Posterior means for a split (for latent-space visualization)."""
+        x = jnp.asarray(getattr(dm, f"x_{split}"), jnp.float32)
+        out = self.model.apply({"params": params}, x, method="encode")
+        mu = out[0] if isinstance(out, tuple) else out
+        return np.asarray(mu), np.asarray(getattr(dm, f"y_{split}"))

@@ -1,0 +1,92 @@
+"""Data pipeline tests (replaces the reference's
+tests/test_data/test_jerby_arnon.py with hermetic fixtures)."""
+
+import numpy as np
+
+from hyperbolic_vae_tpu.data import cifar10, jerby_arnon, mnist
+from hyperbolic_vae_tpu.data.core import split_three_way, split_train_val
+
+
+def test_mnist_synthetic_shapes_and_determinism():
+    dm1 = mnist.make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    dm2 = mnist.make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    assert dm1.x_train.shape[1:] == (28, 28, 1)
+    assert dm1.x_train.min() >= 0.0 and dm1.x_train.max() <= 1.0
+    np.testing.assert_array_equal(dm1.x_train, dm2.x_train)  # seeded
+    # 90/10 split (ref mnist_v2.py:15-19)
+    total = len(dm1.x_train) + len(dm1.x_val)
+    assert abs(len(dm1.x_val) - round(0.1 * total)) <= 1
+
+
+def test_cifar10_synthetic_range():
+    dm = cifar10.make_data_module(batch_size=32, synthetic=True, n_train=128, n_test=32)
+    assert dm.x_train.shape[1:] == (32, 32, 3)
+    assert dm.x_train.min() >= -1.0 and dm.x_train.max() <= 1.0
+    assert dm.label_names[0] == "airplane"
+
+
+def test_split_train_val_disjoint_and_seeded():
+    x = np.arange(100)[:, None].astype(np.float32)
+    y = np.arange(100, dtype=np.int32)
+    xt, yt, xv, yv = split_train_val(x, y, 0.1, seed=42)
+    assert len(xv) == 10 and len(xt) == 90
+    assert set(yv).isdisjoint(set(yt))
+    xt2, _, xv2, _ = split_train_val(x, y, 0.1, seed=42)
+    np.testing.assert_array_equal(xt, xt2)
+
+
+def test_split_three_way_fractions():
+    x = np.arange(200)[:, None].astype(np.float32)
+    y = np.arange(200, dtype=np.int32)
+    (xt, yt), (xv, yv), (xe, ye) = split_three_way(x, y, seed=42)
+    assert len(xt) == 140 and len(xv) == 30 and len(xe) == 30
+    assert set(yt) | set(yv) | set(ye) == set(range(200))
+
+
+def test_fake_rnaseq_schema_and_seed():
+    x1, ct1, genes, cells = jerby_arnon.make_fake_arrays(50, 30)
+    x2, ct2, _, _ = jerby_arnon.make_fake_arrays(50, 30)
+    np.testing.assert_array_equal(x1, x2)  # seeded Poisson (ref :205)
+    assert x1.shape == (50, 30)
+    assert genes[0] == "gene_00000" and cells[0] == "cell_0"
+    assert set(ct1) <= set(jerby_arnon.nice_to_weirds)
+
+
+def test_rnaseq_normalization_methods():
+    x = np.abs(np.random.default_rng(0).normal(5, 2, (20, 10)).astype(np.float32))
+    s1 = jerby_arnon.normalize_rnaseq(x, "sum_to_one")
+    np.testing.assert_allclose(s1.sum(1), 1.0, rtol=1e-5)
+    sm = jerby_arnon.normalize_rnaseq(x, "sum_to_million")
+    np.testing.assert_allclose(sm.sum(1), 1e6, rtol=1e-4)
+    z = jerby_arnon.normalize_rnaseq(x, "z_score")
+    np.testing.assert_allclose(z.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(z.std(0, ddof=1), 1.0, rtol=1e-4)
+    assert jerby_arnon.normalize_rnaseq(x, None) is x
+
+
+def test_gene_and_cell_filters():
+    x = np.ones((10, 4), np.float32)
+    x[:, 1] = 0.0  # all-zero gene
+    genes = ["MT-CO1", "GENE_A", "GENE_B", "GENE_C"]
+    xf, gf = jerby_arnon.filter_gene_symbols(x, genes)
+    assert "MT-CO1" not in gf and "GENE_A" not in gf  # MT dropped, zero dropped
+    assert xf.shape == (10, 2)
+    x2 = np.zeros((5, 10), np.float32)
+    x2[0] = 1.0
+    ann = np.arange(5)
+    xc, annc = jerby_arnon.filter_single_cells(x2, ann)
+    assert len(xc) == 1 and annc[0] == 0
+
+
+def test_rnaseq_data_module_fake():
+    dm = jerby_arnon.make_rnaseq_data_module(batch_size=16, fake=True, n_samples=100, n_genes=40)
+    assert dm.x_train.shape == (70, 40)
+    assert dm.x_val.shape == (15, 40)
+    assert dm.x_test.shape == (15, 40)
+    assert dm.label_names is not None
+
+
+def test_cell_type_vocabulary_map():
+    assert jerby_arnon.weird_to_nice["Mal"] == "Malignant"
+    assert jerby_arnon.weird_to_nice["T cells CD8"] == "T CD8"
+    assert jerby_arnon.weird_to_nice["Endo."] == "Endothelial"

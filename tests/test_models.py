@@ -1,0 +1,137 @@
+"""Model-family matrix: every configuration initializes, runs one loss
+step with finite values, and gradients flow. Mirrors the option space of
+the reference's scripts _1/_2/_3/_5/_6/_7/_8 (SURVEY section 2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbolic_vae_tpu.models import (
+    Autoencoder,
+    EuclideanVAE,
+    GyroplaneVAE,
+    HyperbolicImageVAE,
+    RNASeqVAE,
+    UnifiedVAE,
+)
+
+
+def _one_step(model, x):
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+    params = variables["params"]
+
+    def loss_fn(p):
+        m = model.apply({"params": p}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
+        return m["loss_total"], m
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat), "non-finite grads"
+    assert np.isfinite(float(loss))
+    return params, metrics
+
+
+def test_autoencoder():
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
+    params, m = _one_step(Autoencoder(data_shape=(32, 32, 3), latent_dim=64), x)
+    assert "loss_total" in m
+
+
+def test_euclidean_vae():
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
+    _, m = _one_step(EuclideanVAE(data_shape=(32, 32, 3), latent_dim=2), x)
+    assert set(m) >= {"loss_total", "loss_recon", "loss_kld"}
+
+
+def test_gyroplane_vae():
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 28, 28, 1)), jnp.float32)
+    _, m = _one_step(GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2), x)
+    assert set(m) >= {"loss_total", "recon_loss", "kl_loss"}
+
+
+@pytest.mark.parametrize("enc_last", ["linear", "mobius"])
+@pytest.mark.parametrize("dec_first", ["linear", "geodesic", "mobius", "geoopt_gyroplane"])
+def test_hyperbolic_image_vae_matrix(enc_last, dec_first):
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    model = HyperbolicImageVAE(
+        data_shape=(32, 32, 1),
+        latent_dim=2,
+        manifold_curvature=1.4,
+        encoder_last_layer_module=enc_last,
+        decoder_first_layer_module=dec_first,
+        loss_recon="mse",
+    )
+    _one_step(model, x)
+
+
+def test_hyperbolic_image_vae_bernoulli():
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    model = HyperbolicImageVAE(data_shape=(32, 32, 1), loss_recon="bernoulli")
+    _, m = _one_step(model, x)
+    assert "mse" in m
+
+
+def test_rnaseq_vae():
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 200)), jnp.float32)
+    _, m = _one_step(RNASeqVAE(in_features=200, hidden_dim=32, latent_dim=2), x)
+    assert np.isfinite(float(m["loss_kl"]))
+
+
+@pytest.mark.parametrize("curvature", [None, 1.0])
+@pytest.mark.parametrize("kl_method", ["log_prob", "logmap0_analytic", "logmap0_log_prob"])
+def test_unified_vae_kl_matrix(curvature, kl_method):
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 8, 8, 1)), jnp.float32)
+    model = UnifiedVAE(
+        input_size=(8, 8, 1),
+        hidden_layer_dim=16,
+        latent_dim=2,
+        latent_curvature=curvature,
+        prior_scale=2.0,
+        kl_loss_method=kl_method,
+        last_activation="sigmoid",
+        loss_recon_method="MSE",
+    )
+    _one_step(model, x)
+
+
+@pytest.mark.parametrize(
+    "recon,last_act",
+    [
+        ("MSE", "sigmoid"),
+        ("binary_cross_entropy", "sigmoid"),
+        ("binary_cross_entropy_with_logits", "none"),
+        ("relaxed bernoulli", "none"),
+        ("relaxed bernoulli", "sigmoid"),
+        ("MSE", "softplus"),
+    ],
+)
+def test_unified_vae_recon_matrix(recon, last_act):
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.01, 0.99, (4, 8, 8, 1)), jnp.float32)
+    model = UnifiedVAE(
+        input_size=(8, 8, 1),
+        hidden_layer_dim=16,
+        latent_dim=2,
+        loss_recon_method=recon,
+        last_activation=last_act,
+    )
+    _one_step(model, x)
+
+
+def test_unified_vae_fixed_scale():
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 16)), jnp.float32)
+    model = UnifiedVAE(
+        input_size=(16,), hidden_layer_dim=8, posterior_scale="fixed",
+        last_activation="sigmoid",
+    )
+    _one_step(model, x)
+
+
+def test_mu_encodings_on_manifold():
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 28, 28, 1)), jnp.float32)
+    model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2, manifold_curvature=1.0)
+    params, _ = _one_step(model, x)
+    mu, scale = model.apply({"params": params}, x, method="encode")
+    assert np.all(np.linalg.norm(np.asarray(mu), axis=-1) < 1.0)
+    assert np.all(np.asarray(scale) > 0)

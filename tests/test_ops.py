@@ -1,0 +1,61 @@
+"""Fused gyroplane ops match the reference formula (naive dist2plane)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.ops import gyroplane_distances, gyroplane_distances_pallas
+
+
+@pytest.mark.parametrize("c", [0.5, 1.0, 1.4])
+@pytest.mark.parametrize("signed", [True, False])
+def test_fused_matches_naive(c, signed):
+    ball = PoincareBall(c=c)
+    key = jax.random.PRNGKey(0)
+    x = ball.project(jax.random.normal(key, (32, 4)) * 0.4)
+    pts = ball.project(jax.random.normal(jax.random.PRNGKey(1), (16, 4)) * 0.4)
+    naive = ball.dist2plane(x[:, None, :], pts, pts, signed=signed)
+    fused = gyroplane_distances(x, pts, c, signed=signed)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_with_bias():
+    ball = PoincareBall(c=1.0)
+    x = ball.project(jax.random.normal(jax.random.PRNGKey(2), (8, 2)) * 0.3)
+    pts = ball.project(jax.random.normal(jax.random.PRNGKey(3), (4, 2)) * 0.3)
+    bias = jnp.array([0.1, -0.2, 0.3, 0.0])
+    out = gyroplane_distances(x, pts, 1.0, bias=bias)
+    base = gyroplane_distances(x, pts, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base + bias), rtol=1e-6)
+
+
+def test_pallas_matches_fused():
+    ball = PoincareBall(c=1.0)
+    x = ball.project(jax.random.normal(jax.random.PRNGKey(4), (128, 8)) * 0.4)
+    pts = ball.project(jax.random.normal(jax.random.PRNGKey(5), (64, 8)) * 0.4)
+    fused = gyroplane_distances(x, pts, 1.0)
+    pal = gyroplane_distances_pallas(x, pts, 1.0, block_b=64, block_p=32)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(fused), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_finite():
+    ball = PoincareBall(c=1.0)
+    x = ball.project(jax.random.normal(jax.random.PRNGKey(6), (16, 2)) * 0.5)
+
+    def f(pts):
+        return jnp.sum(gyroplane_distances(x, ball.project(pts), 1.0) ** 2)
+
+    g = jax.grad(f)(jax.random.normal(jax.random.PRNGKey(7), (8, 2)) * 0.4)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fused_leading_dims():
+    ball = PoincareBall(c=1.0)
+    x = ball.project(jax.random.normal(jax.random.PRNGKey(8), (3, 5, 2)) * 0.3)
+    pts = ball.project(jax.random.normal(jax.random.PRNGKey(9), (7, 2)) * 0.3)
+    out = gyroplane_distances(x, pts, 1.0)
+    assert out.shape == (3, 5, 7)
+    flat = gyroplane_distances(x.reshape(15, 2), pts, 1.0)
+    np.testing.assert_allclose(np.asarray(out.reshape(15, 7)), np.asarray(flat), rtol=1e-6)

@@ -1,0 +1,99 @@
+"""RiemannianAdam: golden single-step checks and invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.optim import manifold_label_tree, riemannian_adam
+
+
+def test_euclidean_leaf_matches_optax_adam():
+    import optax
+
+    params = {"dense": {"kernel": jnp.array([1.0, -2.0, 3.0])}}
+    grads = {"dense": {"kernel": jnp.array([0.1, 0.2, -0.3])}}
+    ra = riemannian_adam(1e-2)
+    adam = optax.adam(1e-2)
+    s1, s2 = ra.init(params), adam.init(params)
+    p1, p2 = params, params
+    for _ in range(3):
+        u1, s1 = ra.update(grads, s1, p1)
+        p1 = optax.apply_updates(p1, u1)
+        u2, s2 = adam.update(grads, s2, p2)
+        p2 = optax.apply_updates(p2, u2)
+    np.testing.assert_allclose(
+        np.asarray(p1["dense"]["kernel"]), np.asarray(p2["dense"]["kernel"]), rtol=1e-6
+    )
+
+
+def test_manifold_leaf_first_step_golden():
+    """Hand-computed first step for a single ball point:
+    m1 = (1-b1) g_r, v1 = (1-b2) lam^2 g_r^2, with bias correction the
+    direction is m1/(1-b1) / (sqrt(v1/(1-b2)) + eps) = g_r/(lam |g_r|+eps')
+    -> new point = expmap_x(-lr * direction)."""
+    ball = PoincareBall(c=1.0)
+    x = jnp.array([0.3, 0.0])
+    g = jnp.array([0.5, -0.2])
+    params = {"layer": {"mp_points": x}}
+    grads = {"layer": {"mp_points": g}}
+    lr, eps = 1e-2, 1e-8
+    ra = riemannian_adam(lr, eps=eps, ball=ball)
+    state = ra.init(params)
+    updates, _ = ra.update(grads, state, params)
+    new_p = params["layer"]["mp_points"] + updates["layer"]["mp_points"]
+
+    lam = float(ball.lambda_x(x[None], keepdims=False)[0])
+    g_r = np.asarray(g) / lam**2
+    direction = g_r / (np.sqrt(lam**2 * g_r**2) + eps)
+    expected = ball.expmap(x, jnp.asarray(-lr * direction, jnp.float32))
+    expected = ball.project(expected)
+    np.testing.assert_allclose(np.asarray(new_p), np.asarray(expected), rtol=1e-5, atol=1e-7)
+
+
+def test_manifold_point_stays_in_ball_under_huge_grads():
+    ball = PoincareBall(c=1.0)
+    params = {"g": {"mp_points": jnp.array([[0.9, 0.0], [0.0, -0.9]])}}
+    ra = riemannian_adam(1.0, ball=ball)  # absurd lr
+    state = ra.init(params)
+    import optax
+
+    p = params
+    for i in range(20):
+        grads = {"g": {"mp_points": jnp.full((2, 2), 100.0 * (-1.0) ** i)}}
+        u, state = ra.update(grads, state, p)
+        p = optax.apply_updates(p, u)
+    norms = np.linalg.norm(np.asarray(p["g"]["mp_points"]), axis=-1)
+    assert np.all(norms < 1.0), norms
+
+
+def test_momentum_is_transported():
+    """After a step, exp_avg must live in the NEW tangent space: its
+    Riemannian norm is preserved by transport."""
+    ball = PoincareBall(c=1.0)
+    x = jnp.array([0.4, 0.1])
+    params = {"g": {"mp_points": x}}
+    grads = {"g": {"mp_points": jnp.array([1.0, 2.0])}}
+    ra = riemannian_adam(0.1, ball=ball)
+    state = ra.init(params)
+    updates, new_state = ra.update(grads, state, params)
+    import optax
+
+    new_p = optax.apply_updates(params, updates)["g"]["mp_points"]
+    g_r = ball.egrad2rgrad(x, grads["g"]["mp_points"])
+    m_at_x = 0.1 * g_r  # (1-b1) g_r
+    norm_before = float(ball.inner(x[None], m_at_x[None], keepdims=False)[0])
+    m_after = new_state.exp_avg["g"]["mp_points"]
+    norm_after = float(ball.inner(new_p[None], m_after[None], keepdims=False)[0])
+    np.testing.assert_allclose(norm_after, norm_before, rtol=1e-4)
+
+
+def test_manifold_label_tree():
+    params = {
+        "a": {"kernel": jnp.zeros(3), "mp_points": jnp.zeros((2, 3))},
+        "b": {"bias": jnp.zeros(1)},
+    }
+    labels = manifold_label_tree(params)
+    assert labels["a"]["mp_points"] is True
+    assert labels["a"]["kernel"] is False
+    assert labels["b"]["bias"] is False

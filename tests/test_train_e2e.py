@@ -1,0 +1,81 @@
+"""End-to-end training tests: loss decreases, manifold params stay on the
+ball, checkpoints round-trip, LR plateau + early stopping fire."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hyperbolic_vae_tpu.data.core import ArrayDataModule
+from hyperbolic_vae_tpu.data.mnist import make_data_module
+from hyperbolic_vae_tpu.models import GyroplaneVAE
+from hyperbolic_vae_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_dm():
+    return make_data_module(batch_size=64, synthetic=True, n_train=640, n_test=128)
+
+
+def test_gyroplane_vae_trains(tiny_dm, tmp_path):
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model,
+        max_epochs=8,
+        early_stopping_patience=None,
+        log_dir=str(tmp_path / "logs"),
+    )
+    result = trainer.fit(tiny_dm)
+    losses = [h["train/loss_total"] for h in result.history]
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    # manifold params (gyroplane points) must remain inside the ball
+    pts = result.params["gyroplanes"]["mp_points"]
+    norms = np.linalg.norm(np.asarray(pts), axis=-1)
+    assert np.all(norms < 1.0), norms.max()
+    # posterior means land on the ball
+    mu, labels = trainer.encode_split(tiny_dm, result.params, "val")
+    assert np.all(np.linalg.norm(mu, axis=-1) < 1.0)
+    assert result.samples_per_sec > 0
+
+
+def test_trainer_checkpoint_roundtrip(tiny_dm, tmp_path):
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model,
+        max_epochs=3,
+        early_stopping_patience=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    result = trainer.fit(tiny_dm)
+    restored = trainer._ckpt_mgr.restore("best", like=result.best_params)
+    flat1 = jax.tree.leaves(result.best_params)
+    flat2 = jax.tree.leaves(restored)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    meta = trainer._ckpt_mgr.best_metadata()
+    assert meta is not None and "val/loss_total" in meta
+
+
+def test_trainer_test_metrics(tiny_dm):
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=2, early_stopping_patience=None)
+    result = trainer.fit(tiny_dm)
+    test_ms = trainer.evaluate(tiny_dm, result.best_params, "test")
+    assert "test/loss_total" in test_ms
+    assert np.isfinite(test_ms["test/loss_total"])
+
+
+def test_early_stopping_fires():
+    # constant data -> val loss plateaus fast with patience 1
+    x = np.random.default_rng(0).uniform(0, 1, (256, 8, 8, 1)).astype(np.float32)
+    y = np.zeros(256, np.int32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=y, x_val=x[:64], y_val=y[:64], x_test=x[:64], y_test=y[:64],
+        batch_size=64,
+    )
+    model = GyroplaneVAE(data_shape=(8, 8, 1), latent_dim=2)
+    trainer = Trainer(model, max_epochs=50, early_stopping_patience=2)
+    result = trainer.fit(dm)
+    assert result.epochs_run < 50
