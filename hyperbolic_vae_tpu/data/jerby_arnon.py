@@ -107,11 +107,26 @@ def read_annotations(path_csv) -> "pandas.DataFrame":
     return df
 
 
-def read_tpm(path_csv, skiprows=None) -> "pandas.DataFrame":
+def read_tpm(path_csv, skiprows=None, use_native: bool = True) -> "pandas.DataFrame":
     """Genes-as-rows CSV -> cells-as-rows DataFrame, sorted both axes
-    (reference jerby_arnon.py:134-150)."""
+    (reference jerby_arnon.py:134-150). Uses the multithreaded C++ parser
+    (native/csv_etl.cpp) for the numeric block when built; pandas/pyarrow
+    otherwise."""
     import pandas as pd
 
+    if skiprows is None and use_native:
+        from hyperbolic_vae_tpu.data import native
+
+        if native.is_available():
+            with open(path_csv) as f:
+                header = f.readline().rstrip("\n").split(",")
+                index = [line.split(",", 1)[0] for line in f]
+            values = native.read_csv_matrix(path_csv)
+            cell_ids = header[1:] if len(header) - 1 == values.shape[1] else header
+            df = pd.DataFrame(values, index=index, columns=cell_ids)
+            df = df.rename_axis(index=columns.GENE_SYMBOL, columns=columns.SINGLE_CELL_ID)
+            df = df.sort_index(axis="columns").sort_index(axis="index")
+            return df.T
     if skiprows is None:
         df = pd.read_csv(path_csv, engine="pyarrow", index_col=0)
     else:

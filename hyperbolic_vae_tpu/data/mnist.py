@@ -85,13 +85,14 @@ def synthetic_mnist_arrays(
     def make(n, seed_offset):
         r = np.random.default_rng(seed + seed_offset)
         y = r.integers(0, 10, n).astype(np.int32)
-        shift = r.normal(0, 1.0, (n, 2))
+        shift = r.normal(0, 1.0, (n, 2)).astype(np.int64)
         noise = r.normal(0, 0.08, (n, 28, 28)).astype(np.float32)
-        x = protos[y]
-        # small per-sample translation via roll for intra-class variation
-        x = np.stack(
-            [np.roll(np.roll(img, int(sy), 0), int(sx), 1) for img, (sy, sx) in zip(x, shift)]
-        )
+        # vectorized per-sample circular translation (roll): out[i] = in[(i - s) % 28]
+        imgs = protos[y]
+        grid = np.arange(28)
+        r_idx = (grid[None, :] - shift[:, 0:1]) % 28
+        c_idx = (grid[None, :] - shift[:, 1:2]) % 28
+        x = imgs[np.arange(n)[:, None, None], r_idx[:, :, None], c_idx[:, None, :]]
         x = np.clip(x + noise, 0.0, 1.0).astype(np.float32)
         return x[..., None], y
 

@@ -1,0 +1,89 @@
+"""ctypes binding for the native ETL kernel (native/csv_etl.cpp).
+
+Graceful: if the shared library hasn't been built (`make -C native`),
+``is_available()`` is False and callers fall back to pandas.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / "libhvae_native.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.hvae_csv_shape.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.hvae_csv_shape.restype = ctypes.c_int
+    lib.hvae_csv_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.hvae_csv_read_f32.restype = ctypes.c_int
+    lib.hvae_zscore_columns.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.hvae_zscore_columns.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def read_csv_matrix(
+    path, skip_header: int = 1, skip_cols: int = 1, n_threads: int = 0
+) -> np.ndarray:
+    """Parse a numeric CSV into a float32 (rows, cols) array, skipping the
+    header line and leading index column(s) — the TPM CSV layout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run `make -C native`")
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    rc = lib.hvae_csv_shape(str(path).encode(), skip_header, skip_cols,
+                            ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise RuntimeError(f"hvae_csv_shape failed with code {rc} for {path}")
+    out = np.empty((rows.value, cols.value), dtype=np.float32)
+    rc = lib.hvae_csv_read_f32(
+        str(path).encode(), skip_header, skip_cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows.value, cols.value, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"hvae_csv_read_f32 failed with code {rc} for {path}")
+    return out
+
+
+def zscore_columns(x: np.ndarray, ddof: int = 1, n_threads: int = 0) -> np.ndarray:
+    """In-place parallel column z-score; returns x."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run `make -C native`")
+    assert x.dtype == np.float32 and x.flags.c_contiguous
+    rc = lib.hvae_zscore_columns(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0], x.shape[1], ddof, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"hvae_zscore_columns failed with code {rc}")
+    return x

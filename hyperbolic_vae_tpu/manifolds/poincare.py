@@ -71,7 +71,11 @@ def log_sinh_ratio(t: jax.Array) -> jax.Array:
     use the series log(sinh(t)/t) = t^2/6 - t^4/180 + t^6/2835 + O(t^8)
     (truncation error < 1e-9 at t = 0.2).
     """
-    t_safe = jnp.maximum(t, 1e-7)  # keep the unused branch NaN-free
+    # The big branch is only selected for t >= 0.2, but jnp.where evaluates
+    # (and differentiates) BOTH branches: clamp its input well away from 0,
+    # where exp(-2t) rounds to 1.0 in TPU f32 and log1p(-1) = -inf would
+    # poison gradients through the where.
+    t_safe = jnp.maximum(t, 0.1)
     big = t_safe + jnp.log1p(-jnp.exp(-2.0 * t_safe)) - math.log(2.0) - jnp.log(t_safe)
     t2 = t * t
     small = t2 / 6.0 - t2 * t2 / 180.0 + t2 * t2 * t2 / 2835.0

@@ -72,6 +72,7 @@ class Trainer:
         callbacks: Sequence = (),
         check_finite: bool = True,
         log_every_n_epochs: int = 1,
+        profile_dir: Optional[str] = None,
     ):
         self.model = model
         self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
@@ -81,6 +82,10 @@ class Trainer:
         self.callbacks = list(callbacks)
         self.check_finite = check_finite
         self.log_every_n_epochs = log_every_n_epochs
+        # jax.profiler trace of epoch 1 (post-compile) -> TensorBoard/XProf
+        # (the reference ships torch-tb-profiler but never wires it,
+        # SURVEY section 5.1 — here it's a first-class flag)
+        self.profile_dir = profile_dir
 
         ball = getattr(model, "ball", None) or PoincareBall(c=1.0)
         # only learning_rate is injected (mutable without recompile);
@@ -233,6 +238,8 @@ class Trainer:
         epochs_run = 0
 
         for epoch in range(self.max_epochs):
+            if self.profile_dir and epoch == 1:
+                jax.profiler.start_trace(self.profile_dir)
             key, ek, vk = jax.random.split(key, 3)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
                 self.plateau.lr, jnp.float32
@@ -242,6 +249,8 @@ class Trainer:
             # one host sync per epoch
             train_ms = {f"train/{k}": float(v) for k, v in train_ms.items()}
             val_ms = {f"val/{k}": float(v) for k, v in val_ms.items()}
+            if self.profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
             metrics = {**train_ms, **val_ms, "lr": self.plateau.lr, "epoch": epoch}
             history.append(metrics)
             epochs_run = epoch + 1

@@ -9,13 +9,21 @@ from hyperbolic_vae_tpu.manifolds import PoincareBall
 from hyperbolic_vae_tpu.ops import gyroplane_distances, gyroplane_distances_pallas
 
 
+def _interior_points(key, n, d, ball, frac=0.7):
+    """Random points with norm <= frac * radius (strictly interior —
+    at the boundary both formulations lose f32 accuracy differently)."""
+    u = jax.random.normal(key, (n, d))
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    r = jax.random.uniform(jax.random.fold_in(key, 7), (n, 1)) * frac * ball.radius
+    return u * r
+
+
 @pytest.mark.parametrize("c", [0.5, 1.0, 1.4])
 @pytest.mark.parametrize("signed", [True, False])
 def test_fused_matches_naive(c, signed):
     ball = PoincareBall(c=c)
-    key = jax.random.PRNGKey(0)
-    x = ball.project(jax.random.normal(key, (32, 4)) * 0.4)
-    pts = ball.project(jax.random.normal(jax.random.PRNGKey(1), (16, 4)) * 0.4)
+    x = _interior_points(jax.random.PRNGKey(0), 32, 4, ball)
+    pts = _interior_points(jax.random.PRNGKey(1), 16, 4, ball)
     naive = ball.dist2plane(x[:, None, :], pts, pts, signed=signed)
     fused = gyroplane_distances(x, pts, c, signed=signed)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), rtol=1e-4, atol=1e-5)
@@ -23,8 +31,8 @@ def test_fused_matches_naive(c, signed):
 
 def test_fused_with_bias():
     ball = PoincareBall(c=1.0)
-    x = ball.project(jax.random.normal(jax.random.PRNGKey(2), (8, 2)) * 0.3)
-    pts = ball.project(jax.random.normal(jax.random.PRNGKey(3), (4, 2)) * 0.3)
+    x = _interior_points(jax.random.PRNGKey(2), 8, 2, ball)
+    pts = _interior_points(jax.random.PRNGKey(3), 4, 2, ball)
     bias = jnp.array([0.1, -0.2, 0.3, 0.0])
     out = gyroplane_distances(x, pts, 1.0, bias=bias)
     base = gyroplane_distances(x, pts, 1.0)
@@ -33,8 +41,8 @@ def test_fused_with_bias():
 
 def test_pallas_matches_fused():
     ball = PoincareBall(c=1.0)
-    x = ball.project(jax.random.normal(jax.random.PRNGKey(4), (128, 8)) * 0.4)
-    pts = ball.project(jax.random.normal(jax.random.PRNGKey(5), (64, 8)) * 0.4)
+    x = _interior_points(jax.random.PRNGKey(4), 128, 8, ball)
+    pts = _interior_points(jax.random.PRNGKey(5), 64, 8, ball)
     fused = gyroplane_distances(x, pts, 1.0)
     pal = gyroplane_distances_pallas(x, pts, 1.0, block_b=64, block_p=32)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(fused), rtol=1e-4, atol=1e-5)
@@ -42,7 +50,7 @@ def test_pallas_matches_fused():
 
 def test_fused_gradients_finite():
     ball = PoincareBall(c=1.0)
-    x = ball.project(jax.random.normal(jax.random.PRNGKey(6), (16, 2)) * 0.5)
+    x = _interior_points(jax.random.PRNGKey(6), 16, 2, ball)
 
     def f(pts):
         return jnp.sum(gyroplane_distances(x, ball.project(pts), 1.0) ** 2)
@@ -53,8 +61,8 @@ def test_fused_gradients_finite():
 
 def test_fused_leading_dims():
     ball = PoincareBall(c=1.0)
-    x = ball.project(jax.random.normal(jax.random.PRNGKey(8), (3, 5, 2)) * 0.3)
-    pts = ball.project(jax.random.normal(jax.random.PRNGKey(9), (7, 2)) * 0.3)
+    x = _interior_points(jax.random.PRNGKey(8), 15, 2, ball).reshape(3, 5, 2)
+    pts = _interior_points(jax.random.PRNGKey(9), 7, 2, ball)
     out = gyroplane_distances(x, pts, 1.0)
     assert out.shape == (3, 5, 7)
     flat = gyroplane_distances(x.reshape(15, 2), pts, 1.0)

@@ -237,3 +237,25 @@ def test_jit_and_vmap_clean():
     d1 = f(x, y)
     d2 = jax.vmap(lambda a, b: ball.dist(a, b))(x, y)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_logdetexp_grad_finite_at_coincident_points():
+    """Regression: the log-space branch of log(sinh(t)/t) used to produce
+    -inf in the un-taken jnp.where branch at t -> 0, which poisons the
+    backward pass (0 * inf = NaN) — only visible on TPU where exp(-2t)
+    rounds to 1.0 earlier than on CPU."""
+    ball = PoincareBall(c=1.0)
+    y = jnp.array([0.3, 0.1])
+
+    def f(x):
+        return jnp.sum(ball.logdetexp(x[None], y[None] + x[None] * 0.0))
+
+    g = jax.grad(f)(jnp.array([0.3, 0.1]))  # x == y: dist == 0
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+    def f2(t):
+        from hyperbolic_vae_tpu.manifolds import log_sinh_ratio
+        return jnp.sum(log_sinh_ratio(t))
+
+    g2 = jax.grad(f2)(jnp.array([0.0, 1e-10, 1e-7, 0.05, 0.5, 5.0]))
+    assert np.all(np.isfinite(np.asarray(g2))), g2
