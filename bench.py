@@ -72,10 +72,12 @@ def bench_jax() -> float:
     key = jax.random.PRNGKey(0)
     # compile + 2 warmup epochs (first post-compile epoch can still pay
     # one-time costs on some backends)
+    # NB: on some remote backends block_until_ready returns at enqueue,
+    # not completion — a host VALUE FETCH is the only reliable sync.
     for _ in range(2):
         key, k = jax.random.split(key)
         params, opt_state, ms = train_epoch(params, opt_state, x_train, k)
-        jax.block_until_ready(ms["loss_total"])
+        float(ms["loss_total"])
 
     steps = n_train // dm.batch_size
     # median of per-epoch wall times, each fully synchronized
@@ -84,9 +86,10 @@ def bench_jax() -> float:
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, ms = train_epoch(params, opt_state, x_train, k)
-        jax.block_until_ready(ms["loss_total"])
+        float(ms["loss_total"])
         times.append(time.perf_counter() - t0)
     assert float(ms["loss_total"]) == float(ms["loss_total"]), "NaN loss in bench"
+    print(f"per-epoch times (s): {[round(t, 4) for t in times]}", file=sys.stderr)
     times.sort()
     dt = times[len(times) // 2]
     n_chips = max(jax.device_count(), 1)

@@ -171,6 +171,26 @@ def load_jerby_arnon_arrays(data_dir, rnaseq_normalize_method: str | None = "z_s
     return x, cell_types, genes
 
 
+def get_subset_dataset(
+    data_dir,
+    n_samples: int = 10,
+    genes_keep_one_in: int = 100,
+    rnaseq_normalize_method: str | None = "sum_to_one",
+):
+    """Cheap subset for interactive work: every Nth gene row, first
+    n_samples cells (reference get_subset_jerby_arnon_dataset,
+    jerby_arnon.py:185-196). Returns (x, cell_types, genes)."""
+    data_dir = Path(data_dir)
+    ann = read_annotations(data_dir / "annotations.csv")
+    tpm = read_tpm(data_dir / "tpm.csv", skiprows=lambda i: i % genes_keep_one_in)
+    x = tpm.to_numpy(dtype=np.float32)
+    x, genes = filter_gene_symbols(x, list(tpm.columns))
+    keep = ann.index[:n_samples]
+    mask = tpm.index.isin(keep)
+    x = normalize_rnaseq(x[mask], rnaseq_normalize_method).astype(np.float32)
+    return x, ann.loc[tpm.index[mask], columns.CELL_TYPE].to_numpy(), genes
+
+
 def _labels_to_int(cell_types) -> tuple[np.ndarray, list[str]]:
     vocab = sorted(set(map(str, cell_types)))
     index = {v: i for i, v in enumerate(vocab)}

@@ -116,10 +116,10 @@ def sample_radius(
     # invert: find segment where cdf >= u, linear interp
     idx = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1) - 1
     idx = jnp.clip(idx, 0, grid_size - 2)
-    c0 = jnp.take_along_axis(cdf, idx[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(cdf, idx[..., None] + 1, axis=-1)[..., 0]
-    r0 = jnp.take_along_axis(r_grid, idx[..., None], axis=-1)[..., 0]
-    r1 = jnp.take_along_axis(r_grid, idx[..., None] + 1, axis=-1)[..., 0]
+    c0 = jnp.take_along_axis(cdf, idx[..., None], axis=-1, mode='clip')[..., 0]
+    c1 = jnp.take_along_axis(cdf, idx[..., None] + 1, axis=-1, mode='clip')[..., 0]
+    r0 = jnp.take_along_axis(r_grid, idx[..., None], axis=-1, mode='clip')[..., 0]
+    r1 = jnp.take_along_axis(r_grid, idx[..., None] + 1, axis=-1, mode='clip')[..., 0]
     w = (u - c0) / jnp.maximum(c1 - c0, 1e-30)
     return r0 + w * (r1 - r0)
 

@@ -43,3 +43,25 @@ class CheckpointManager:
     def best_metadata(self) -> Optional[dict]:
         p = self.directory / "best.json"
         return json.loads(p.read_text()) if p.exists() else None
+
+    # ---- full training state (params + opt state + controllers) ----
+    # the resume unit the reference delegates to Lightning (SURVEY 5.4):
+    # weights, optimizer moments, epoch, RNG, and scheduler state.
+
+    def save_state(self, state: Any, meta: dict) -> None:
+        path = self.directory / "state"
+        self._ckpt.save(path, state, force=True)
+        with open(self.directory / "state.json", "w") as f:
+            json.dump(meta, f)
+
+    def restore_state(self, like: Any) -> tuple[Any, Optional[dict]]:
+        path = self.directory / "state"
+        meta_path = self.directory / "state.json"
+        if not path.exists():
+            return None, None
+        state = self._ckpt.restore(path, target=like)
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        return state, meta
+
+    def has_state(self) -> bool:
+        return (self.directory / "state").exists()

@@ -73,7 +73,9 @@ class Trainer:
         check_finite: bool = True,
         log_every_n_epochs: int = 1,
         profile_dir: Optional[str] = None,
+        state_every_n_epochs: int = 1,
     ):
+        self.state_every_n_epochs = state_every_n_epochs
         self.model = model
         self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
         self.max_epochs = max_epochs
@@ -134,7 +136,7 @@ class Trainer:
             def step(carry, idx):
                 params, opt_state, skey = carry
                 skey, sk = jax.random.split(skey)
-                batch = jnp.take(x_all, idx, axis=0)
+                batch = jnp.take(x_all, idx, axis=0, mode="clip")  # indices in-bounds by construction; default "fill" gather miscompiles on some TPU backends
 
                 def loss_fn(p):
                     m = model.apply(
@@ -160,7 +162,7 @@ class Trainer:
 
             def step(skey, batch_idx):
                 skey, sk = jax.random.split(skey)
-                batch = jnp.take(x_all, batch_idx, axis=0)
+                batch = jnp.take(x_all, batch_idx, axis=0, mode="clip")
                 m = model.apply(
                     {"params": params}, batch, method="loss", rngs={"sample": sk}
                 )
@@ -199,7 +201,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def fit(self, dm: ArrayDataModule, params=None) -> TrainResult:
+    def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
         if params is None:
@@ -207,6 +209,24 @@ class Trainer:
         opt_state = self._optimizer.init(params)
         if self.mesh is not None:
             opt_state = jax.device_put(opt_state, replicated(self.mesh))
+
+        start_epoch = 0
+        if resume and self._ckpt_mgr and self._ckpt_mgr.has_state():
+            state, meta = self._ckpt_mgr.restore_state(
+                {"params": params, "opt_state": opt_state, "key": key}
+            )
+            if state is not None:
+                params, opt_state, key = state["params"], state["opt_state"], state["key"]
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                self.plateau.lr = float(meta.get("plateau_lr", self.plateau.lr))
+                self.plateau.best = float(meta.get("plateau_best", self.plateau.best))
+                self.plateau.num_bad_epochs = int(meta.get("plateau_bad", 0))
+                if self.early_stopping:
+                    self.early_stopping.best = float(
+                        meta.get("early_best", self.early_stopping.best)
+                    )
+                    self.early_stopping.wait = int(meta.get("early_wait", 0))
+                logger.info("resumed from epoch %d", start_epoch)
 
         x_train = self._stage(dm.x_train)
         x_val = self._stage(dm.x_val)
@@ -237,7 +257,7 @@ class Trainer:
         t_start = None  # set after the first (compile) epoch
         epochs_run = 0
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             if self.profile_dir and epoch == 1:
                 jax.profiler.start_trace(self.profile_dir)
             key, ek, vk = jax.random.split(key, 3)
@@ -283,6 +303,19 @@ class Trainer:
             for cb in self.callbacks:
                 if hasattr(cb, "on_epoch_end"):
                     cb.on_epoch_end(self, epoch, params, metrics)
+
+            if self._ckpt_mgr and (epoch + 1) % self.state_every_n_epochs == 0:
+                self._ckpt_mgr.save_state(
+                    {"params": params, "opt_state": opt_state, "key": key},
+                    {
+                        "epoch": epoch,
+                        "plateau_lr": self.plateau.lr,
+                        "plateau_best": self.plateau.best,
+                        "plateau_bad": self.plateau.num_bad_epochs,
+                        "early_best": self.early_stopping.best if self.early_stopping else 0.0,
+                        "early_wait": self.early_stopping.wait if self.early_stopping else 0,
+                    },
+                )
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})

@@ -90,3 +90,33 @@ def test_cell_type_vocabulary_map():
     assert jerby_arnon.weird_to_nice["Mal"] == "Malignant"
     assert jerby_arnon.weird_to_nice["T cells CD8"] == "T CD8"
     assert jerby_arnon.weird_to_nice["Endo."] == "Endothelial"
+
+
+def test_parquet_split_roundtrip(tmp_path):
+    """prepare -> parquet splits -> load (the flow the reference's
+    jerby_arnon_other.py never finished)."""
+    import pandas as pd
+
+    from hyperbolic_vae_tpu.data import jerby_arnon as ja
+    from hyperbolic_vae_tpu.data.jerby_arnon_parquet import (
+        load_parquet_data_module,
+        save_split_parquet_datasets,
+    )
+
+    # synthesize the CSV layout from the fake factory
+    x, cell_types, genes, cells = ja.make_fake_arrays(60, 25)
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    pd.DataFrame(
+        {"cells": cells, "cell.types": cell_types, "samples": ["s"] * 60}
+    ).to_csv(csv_dir / "annotations.csv", index=False)
+    tpm = pd.DataFrame(x.T, index=pd.Index(genes, name="g"), columns=cells)
+    tpm.to_csv(csv_dir / "tpm.csv")
+
+    pq_dir = tmp_path / "pq"
+    save_split_parquet_datasets(csv_dir, pq_dir)
+    dm = load_parquet_data_module(pq_dir, batch_size=8)
+    assert len(dm.x_train) == 36 and len(dm.x_val) == 12 and len(dm.x_test) == 12
+    assert dm.x_train.shape[1] == dm.x_val.shape[1] == dm.x_test.shape[1]
+    assert np.isfinite(dm.x_train).all()
+    assert set(dm.y_train) <= set(range(len(dm.label_names)))

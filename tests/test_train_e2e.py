@@ -79,3 +79,18 @@ def test_early_stopping_fires():
     trainer = Trainer(model, max_epochs=50, early_stopping_patience=2)
     result = trainer.fit(dm)
     assert result.epochs_run < 50
+
+
+def test_resume_from_state(tiny_dm, tmp_path):
+    """Full-state resume: train 3 epochs, resume to 5, matches epoch count
+    and keeps training (the reference delegates this to Lightning)."""
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(model, max_epochs=3, early_stopping_patience=None, checkpoint_dir=ckpt)
+    r1 = t1.fit(tiny_dm)
+    assert r1.epochs_run == 3
+    t2 = Trainer(model, max_epochs=5, early_stopping_patience=None, checkpoint_dir=ckpt)
+    r2 = t2.fit(tiny_dm, resume=True)
+    epochs = [h["epoch"] for h in r2.history]
+    assert epochs == [3, 4], epochs
+    assert np.isfinite(r2.history[-1]["train/loss_total"])
