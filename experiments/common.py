@@ -9,6 +9,7 @@ container has no network egress for dataset downloads.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -36,6 +37,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def setup(args, name: str) -> Path:
+    if os.environ.get("HVAE_FORCE_CPU"):
+        # the axon sitecustomize overrides JAX_PLATFORMS; config wins
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     configure_handler_for_script(args.log_level)
     run_dir = Path(args.run_dir) if args.run_dir else RUNS_PATH / name
     run_dir.mkdir(parents=True, exist_ok=True)

@@ -32,8 +32,28 @@ import jax
 import jax.numpy as jnp
 
 from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.manifolds.poincare import BOUNDARY_EPS
+
+
+def max_chart_radius(ball: PoincareBall) -> float:
+    """Geodesic distance from the origin to the projection boundary —
+    the largest radius the f32 chart represents faithfully."""
+    return 2.0 / ball.sqrt_c * math.atanh(1.0 - BOUNDARY_EPS)
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+# Max geodesic radius of a sample from its loc (Riemannian units).
+# The f32 chart is only faithful inside the projection margin: a point
+# farther than D_max = 2 artanh(sqrt(c)(1-BOUNDARY_EPS))/sqrt(c) from the
+# ORIGIN is relocated by project(), so expmap/logmap stop being inverse
+# bijections there — log_prob then scores a DIFFERENT point than the one
+# sampled, and MC KL estimators actively exploit the mismatch (observed
+# failure: posterior scale blows up, KL -> -1e5, exactly the NaN mode the
+# torch reference logs warnings about). rsample therefore truncates the
+# tangent draw to min(MAX_SAMPLE_RADIUS, D_max - dist0(loc)): samples
+# never leave the faithful region, so log q(z) of own samples is exact.
+# For healthy scales the truncated tail has probability ~0.
+MAX_SAMPLE_RADIUS = 10.0
 
 
 def normal_log_prob(x: jax.Array, loc, scale) -> jax.Array:
@@ -54,6 +74,13 @@ def wrapped_normal_rsample(
     shape = tuple(sample_shape) + loc.shape
     eps = jax.random.normal(key, shape, dtype=jnp.float32)
     v = scale * eps
+    # truncate to the f32-faithful chart radius (see MAX_SAMPLE_RADIUS)
+    r_allowed = jnp.maximum(
+        max_chart_radius(ball) - ball.dist0(loc, keepdims=True), 1e-2
+    )
+    r_allowed = jnp.minimum(r_allowed, MAX_SAMPLE_RADIUS)
+    v_norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v * jnp.minimum(1.0, r_allowed / jnp.maximum(v_norm, 1e-12))
     # lambda at the origin is exactly 2
     v = v / 2.0
     u = ball.transp0(loc, v)

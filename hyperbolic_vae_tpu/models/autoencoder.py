@@ -22,11 +22,12 @@ class Autoencoder(fnn.Module):
     base_channel_size: int = 32
     latent_dim: int = 128
     lr: float = 1e-3
+    compute_dtype: str = "float32"
 
     def setup(self):
-        self.encoder = ConvEncoder(self.base_channel_size)
+        self.encoder = ConvEncoder(self.base_channel_size, dtype=self.compute_dtype)
         self.latent = fnn.Dense(self.latent_dim, name="latent")
-        self.decoder = ConvDecoder(self.base_channel_size, self.data_shape)
+        self.decoder = ConvDecoder(self.base_channel_size, self.data_shape, dtype=self.compute_dtype)
 
     def encode(self, x):
         return self.latent(self.encoder(x))

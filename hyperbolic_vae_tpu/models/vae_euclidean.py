@@ -30,34 +30,40 @@ from hyperbolic_vae_tpu.distributions import kl_std_normal_from_logvar
 
 class ConvEncoder(fnn.Module):
     hidden_size: int = 32
+    dtype: str = "float32"  # "bfloat16" runs the convs on the MXU in bf16
 
     @fnn.compact
     def __call__(self, x):
         c = self.hidden_size
-        x = fnn.gelu(fnn.Conv(c, (3, 3), strides=2, padding=1)(x))
-        x = fnn.gelu(fnn.Conv(c, (3, 3), padding=1)(x))
-        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), strides=2, padding=1)(x))
-        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), padding=1)(x))
-        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), strides=2, padding=1)(x))
-        return x.reshape(x.shape[0], -1)
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
+        x = fnn.gelu(fnn.Conv(c, (3, 3), strides=2, padding=1, dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(c, (3, 3), padding=1, dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), strides=2, padding=1, dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), padding=1, dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), strides=2, padding=1, dtype=dt)(x))
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 class ConvDecoder(fnn.Module):
     hidden_size: int = 32
     data_shape: Sequence[int] = (32, 32, 3)
     final_activation: str = "tanh"  # reference uses tanh (vae_euclidean.py:87)
+    dtype: str = "float32"
 
     @fnn.compact
     def __call__(self, z):
         c = self.hidden_size
+        dt = jnp.dtype(self.dtype)
         h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8
-        x = fnn.gelu(fnn.Dense(2 * c * h8 * w8)(z))
+        x = fnn.gelu(fnn.Dense(2 * c * h8 * w8, dtype=dt)(z.astype(dt)))
         x = x.reshape(z.shape[0], h8, w8, 2 * c)
-        x = fnn.gelu(fnn.ConvTranspose(2 * c, (3, 3), strides=(2, 2), padding='SAME')(x))
-        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), padding=1)(x))
-        x = fnn.gelu(fnn.ConvTranspose(c, (3, 3), strides=(2, 2), padding='SAME')(x))
-        x = fnn.gelu(fnn.Conv(c, (3, 3), padding=1)(x))
-        x = fnn.ConvTranspose(self.data_shape[2], (3, 3), strides=(2, 2), padding='SAME')(x)
+        x = fnn.gelu(fnn.ConvTranspose(2 * c, (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(2 * c, (3, 3), padding=1, dtype=dt)(x))
+        x = fnn.gelu(fnn.ConvTranspose(c, (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x))
+        x = fnn.gelu(fnn.Conv(c, (3, 3), padding=1, dtype=dt)(x))
+        x = fnn.ConvTranspose(self.data_shape[2], (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x)
+        x = x.astype(jnp.float32)
         if self.final_activation == "tanh":
             x = fnn.tanh(x)
         elif self.final_activation == "sigmoid":
@@ -71,12 +77,13 @@ class EuclideanVAE(fnn.Module):
     latent_dim: int = 2
     beta: float = 1.0
     lr: float = 1e-3
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-native convs
 
     def setup(self):
-        self.encoder = ConvEncoder(self.hidden_size)
+        self.encoder = ConvEncoder(self.hidden_size, dtype=self.compute_dtype)
         self.mu_head = fnn.Dense(self.latent_dim, name="mu")
         self.log_var_head = fnn.Dense(self.latent_dim, name="log_var")
-        self.decoder = ConvDecoder(self.hidden_size, self.data_shape)
+        self.decoder = ConvDecoder(self.hidden_size, self.data_shape, dtype=self.compute_dtype)
 
     def encode(self, x):
         h = self.encoder(x)

@@ -105,7 +105,7 @@ class HyperbolicImageVAE(fnn.Module):
             log_var = jnp.zeros_like(mu)  # ref :113-116
         else:
             log_var = self.log_var_head(h)
-        return mu, jnp.exp(0.5 * log_var)
+        return mu, jnp.clip(jnp.exp(0.5 * log_var), 1e-3, 10.0)  # scale floor+cap, see vae_gyroplane
 
     def decode(self, z):
         h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8

@@ -74,7 +74,7 @@ class PvaeMLPVAE(fnn.Module):
     def encode(self, x):
         h = fnn.relu(self.enc(x.reshape(x.shape[0], -1)))
         mu = self.ball.expmap0(self.mu_head(h))
-        scale = fnn.softplus(self.scale_head(h))
+        scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)  # floor+cap, see vae_gyroplane
         return mu, scale
 
     def posterior_dist(self, mu, scale):

@@ -54,7 +54,7 @@ class RNASeqVAE(fnn.Module):
     def encode(self, x):
         h = fnn.gelu(self.enc(x))
         mu = self.ball.expmap0(self.mu_head(h))
-        scale = fnn.softplus(self.scale_head(h))
+        scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)  # floor+cap, see vae_gyroplane
         return mu, scale
 
     def decode(self, z):

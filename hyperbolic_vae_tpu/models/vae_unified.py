@@ -106,7 +106,7 @@ class UnifiedVAE(fnn.Module):
         if self.ball is not None:
             mu = self.ball.expmap0(mu)
         if self.posterior_scale == "learned":
-            scale = fnn.softplus(self.scale_head(h))
+            scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)  # floor+cap, see vae_gyroplane
         else:
             scale = jnp.ones_like(mu)
         return mu, scale

@@ -56,7 +56,7 @@ def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None):
     # the true Mobius difference lies inside the ball: |diff|^2 < 1/c.
     # The analytic form cancels in f32 for near-boundary x, p — clamp
     # into the open ball so the (1 - c|diff|^2) factor keeps its sign.
-    max_d2 = (1.0 - 1e-5) ** 2 / c
+    max_d2 = (1.0 - 1e-4) ** 2 / c
     diff_norm2 = jnp.clip(
         alpha * alpha * p2 - 2.0 * alpha * beta * xp + beta * beta * x2,
         MIN_NORM,

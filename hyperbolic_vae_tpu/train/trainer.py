@@ -74,8 +74,13 @@ class Trainer:
         log_every_n_epochs: int = 1,
         profile_dir: Optional[str] = None,
         state_every_n_epochs: int = 1,
+        debug_nans: bool = False,
     ):
         self.state_every_n_epochs = state_every_n_epochs
+        if debug_nans:
+            # step-level NaN localization — the jit-world analogue of the
+            # reference's torch detect_anomaly wrapper (scripts/_6:64)
+            jax.config.update("jax_debug_nans", True)
         self.model = model
         self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
         self.max_epochs = max_epochs
@@ -144,9 +149,18 @@ class Trainer:
                     )
                     return m["loss_total"], m
 
-                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                # failure containment (SURVEY 5.2): a non-finite loss or
+                # gradient skips the update instead of poisoning params —
+                # the jit-world version of "probe_infnan then continue".
+                ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+                updates, new_opt_state = optimizer.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+                opt_state = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+                )
+                metrics = dict(metrics, skipped_steps=1.0 - ok.astype(jnp.float32))
                 return (params, opt_state, skey), metrics
 
             (params, opt_state, _), ms = jax.lax.scan(

@@ -1,0 +1,58 @@
+"""Smoke tests for the experiment entry points: each CLI runs end-to-end
+with tiny synthetic settings on CPU (catches arg wiring, not quality)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+EXP = REPO / "experiments"
+
+
+def run_script(name, *extra, timeout=420):
+    env = dict(os.environ)
+    env["HVAE_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    cmd = [sys.executable, str(EXP / name), "--epochs", "2", "--batch-size", "32",
+           "--no-early-stopping", *extra]
+    proc = subprocess.run(
+        cmd, cwd=EXP, env=env, capture_output=True, text=True, timeout=timeout
+    )
+    assert proc.returncode == 0, f"{name} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    return proc.stdout
+
+
+def test_flagship_gyroplane_cli(tmp_path):
+    out = run_script(
+        "train_vae_hyperbolic_mnist_gyroplane.py",
+        "--synthetic", "--n-train", "320", "--run-dir", str(tmp_path),
+    )
+    assert "test:" in out and "loss_total" in out
+
+
+def test_euclidean_mnist_cli(tmp_path):
+    out = run_script(
+        "train_vae_euclidean_mnist.py",
+        "--synthetic", "--n-train", "160", "--run-dir", str(tmp_path),
+    )
+    assert "test:" in out
+
+
+def test_rnaseq_cli(tmp_path):
+    out = run_script(
+        "train_vaes_rnaseq.py",
+        "--fake", "--run-dir", str(tmp_path),
+    )
+    assert "test:" in out
+
+
+def test_pvae_replicate_cli(tmp_path):
+    out = run_script(
+        "pvae_replicate.py",
+        "--synthetic", "--n-train", "256", "--posteriors", "wrapped",
+        "--iwae-k", "50", "--run-dir", str(tmp_path),
+    )
+    assert "iwae_50" in out

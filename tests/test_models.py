@@ -135,3 +135,20 @@ def test_mu_encodings_on_manifold():
     mu, scale = model.apply({"params": params}, x, method="encode")
     assert np.all(np.linalg.norm(np.asarray(mu), axis=-1) < 1.0)
     assert np.all(np.asarray(scale) > 0)
+
+
+def test_euclidean_vae_bf16_compute():
+    """bf16 conv path: finite loss/grads, f32 params, loss close to f32."""
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
+    m32 = EuclideanVAE(data_shape=(32, 32, 3), latent_dim=2)
+    mbf = EuclideanVAE(data_shape=(32, 32, 3), latent_dim=2, compute_dtype="bfloat16")
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    p32 = m32.init(rngs, x)["params"]
+    pbf = mbf.init(rngs, x)["params"]
+    # params are stored f32 regardless of compute dtype
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(pbf))
+    l32 = m32.apply({"params": p32}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
+    lbf = mbf.apply({"params": pbf}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(lbf["loss_total"]))
+    rel = abs(float(lbf["loss_total"]) - float(l32["loss_total"])) / abs(float(l32["loss_total"]))
+    assert rel < 0.1, rel
