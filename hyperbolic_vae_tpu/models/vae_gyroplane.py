@@ -74,10 +74,11 @@ class GyroplaneVAE(fnn.Module):
         h = x.reshape(x.shape[0], -1)
         for layer in self.enc_layers:
             h = fnn.gelu(layer(h))
+        # scale floor+cap: with sigma -> 0 the f32 expmap/logmap roundtrip
+        # noise makes log q(z) spuriously large-negative and the MC KL
+        # rewards collapse (the reference hits the same NaNs,
+        # vae_one_b.py:279-280); cap cf. RiemannianNormal's [0.1, 7] clamp
         scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)
-  # scale floor: with sigma -> 0 the f32 expmap/logmap roundtrip noise
-        # makes log q(z) spuriously large-negative and the MC KL rewards
-        # collapse (the reference hits the same NaNs, vae_one_b.py:279-280)
         return self.ball.expmap0(self.mu_head(h)), scale
 
     def decode(self, z):
