@@ -208,3 +208,46 @@ def test_relaxed_bernoulli_probs_vs_logits():
     a = relaxed_bernoulli_log_prob(x, 0.5, probs=probs)
     b = relaxed_bernoulli_log_prob(x, 0.5, logits=logits)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_rsample_stays_in_faithful_chart():
+    """Regression for the MC-KL chart exploit: samples must never cross
+    the f32 projection boundary, even with absurd scales and boundary
+    locs — otherwise log_prob scores a relocated point."""
+    from hyperbolic_vae_tpu.distributions.wrapped_normal import max_chart_radius
+
+    ball = PoincareBall(c=1.0)
+    d_max = max_chart_radius(ball)
+    loc = ball.project(jnp.array([[0.9999, 0.0], [0.0, 0.0], [0.5, 0.5]]))
+    scale = jnp.full((3, 2), 50.0)  # absurd
+    z = wrapped_normal_rsample(jax.random.PRNGKey(0), ball, loc, scale, (256,))
+    d0 = ball.dist0(z)
+    assert float(d0.max()) <= d_max + 1e-3, float(d0.max())
+
+
+def test_mc_kl_nonnegative_under_extreme_scales():
+    """E_q[log q - log p] must stay >= ~0 (it's a KL) even in the regime
+    that used to be exploitable (boundary loc + huge/tiny mixed scales)."""
+    ball = PoincareBall(c=1.0)
+    loc = ball.project(jnp.array([[0.9959, 0.0]]))
+    scale = jnp.array([[1e-3, 10.0]])
+    q = WrappedNormal(loc, scale, ball)
+    z = q.rsample(jax.random.PRNGKey(1), (4096,))
+    kl = float(jnp.mean(q.log_prob(z) - wrapped_normal_log_prob(ball, jnp.zeros(2), jnp.ones(2), z)))
+    assert kl > -1.0, kl  # small MC slack; the broken version gave -1e5
+
+
+def test_rsample_log_prob_roundtrip_consistency():
+    """log_prob of own samples must match the forward tangent draw."""
+    from hyperbolic_vae_tpu.distributions.wrapped_normal import normal_log_prob as _nlp
+
+    ball = PoincareBall(c=1.0)
+    loc = ball.project(jnp.array([[0.9, 0.3]]) * 0.9)
+    scale = jnp.array([[0.5, 0.7]])
+    key = jax.random.PRNGKey(2)
+    z = wrapped_normal_rsample(key, ball, loc, scale, (512,))
+    # reverse-engineer u and check |u| is plausible for N(0, scale)
+    v = ball.logmap(loc, z)
+    u = ball.transp0back(loc, v) * 2.0
+    stds = np.asarray(u).std(axis=0)[0]
+    np.testing.assert_allclose(stds, np.asarray(scale)[0], rtol=0.15)
