@@ -56,3 +56,29 @@ def test_pvae_replicate_cli(tmp_path):
         "--iwae-k", "50", "--run-dir", str(tmp_path),
     )
     assert "iwae_50" in out
+
+
+def test_ae_cifar10_cli(tmp_path):
+    out = run_script(
+        "train_ae_euclidean_cifar10.py",
+        "--synthetic", "--n-train", "128", "--latent-dims", "16",
+        "--run-dir", str(tmp_path),
+    )
+    assert "latent_dim" in out
+
+
+def test_vae_cifar10_cli(tmp_path):
+    out = run_script(
+        "train_vae_euclidean_cifar10.py",
+        "--synthetic", "--n-train", "128", "--latent-dim", "8",
+        "--run-dir", str(tmp_path),
+    )
+    assert "test:" in out
+
+
+def test_hyperbolic_conv_cli(tmp_path):
+    out = run_script(
+        "train_vae_hyperbolic_mnist.py",
+        "--synthetic", "--n-train", "128", "--run-dir", str(tmp_path),
+    )
+    assert "test:" in out
