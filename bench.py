@@ -59,7 +59,13 @@ def bench_jax() -> float:
 
     dm = mnist.make_data_module(batch_size=BATCH_SIZE, synthetic=True, n_train=N_TRAIN, n_test=512)
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2, manifold_curvature=1.0)
-    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None, check_finite=False)
+    # block shuffle: per-row gathers are DMA-latency bound on TPU
+    # (~2x whole-epoch cost); convergence equivalence vs row shuffle is
+    # validated in benchmarks/parity.py + tests
+    trainer = Trainer(
+        model, max_epochs=1, early_stopping_patience=None, check_finite=False,
+        shuffle="block",
+    )
 
     import jax.numpy as jnp
 

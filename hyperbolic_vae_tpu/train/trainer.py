@@ -75,7 +75,10 @@ class Trainer:
         profile_dir: Optional[str] = None,
         state_every_n_epochs: int = 1,
         debug_nans: bool = False,
+        shuffle: str = "row",  # "row" (exact reference semantics) | "block" (TPU-fast)
     ):
+        assert shuffle in ("row", "block"), shuffle
+        self.shuffle = shuffle
         self.state_every_n_epochs = state_every_n_epochs
         if debug_nans:
             # step-level NaN localization — the jit-world analogue of the
@@ -133,15 +136,33 @@ class Trainer:
         model = self.model
         optimizer = self._optimizer
 
-        def train_epoch(params, opt_state, x_all, key):
-            perm_key, sample_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n_train)[: steps * batch_size]
-            perm = perm.reshape(steps, batch_size)
+        shuffle = self.shuffle
 
-            def step(carry, idx):
+        def train_epoch(params, opt_state, x_all, key):
+            perm_key, sample_key, off_key = jax.random.split(key, 3)
+            if shuffle == "row":
+                # exact reference semantics: fresh per-sample permutation
+                perm = jax.random.permutation(perm_key, n_train)[: steps * batch_size]
+                scan_xs = perm.reshape(steps, batch_size)
+            else:
+                # "block": each batch is a random contiguous window of the
+                # (host-shuffled) dataset. Per-row gathers are DMA-latency
+                # bound on TPU (~40ms/epoch at 60k x 784); one contiguous
+                # dynamic_slice per step is ~2x faster end-to-end. Window
+                # starts are uniform over [0, n-B], so batch composition
+                # re-mixes every step/epoch.
+                del off_key
+                scan_xs = jax.random.randint(
+                    perm_key, (steps,), 0, n_train - batch_size + 1
+                )
+
+            def step(carry, xs):
                 params, opt_state, skey = carry
                 skey, sk = jax.random.split(skey)
-                batch = jnp.take(x_all, idx, axis=0, mode="clip")  # indices in-bounds by construction; default "fill" gather miscompiles on some TPU backends
+                if shuffle == "row":
+                    batch = jnp.take(x_all, xs, axis=0, mode="clip")  # in-bounds by construction; default "fill" gather miscompiles on some TPU backends
+                else:
+                    batch = jax.lax.dynamic_slice_in_dim(x_all, xs, batch_size, axis=0)
 
                 def loss_fn(p):
                     m = model.apply(
@@ -164,7 +185,7 @@ class Trainer:
                 return (params, opt_state, skey), metrics
 
             (params, opt_state, _), ms = jax.lax.scan(
-                step, (params, opt_state, sample_key), perm
+                step, (params, opt_state, sample_key), scan_xs
             )
             return params, opt_state, jax.tree.map(jnp.mean, ms)
 

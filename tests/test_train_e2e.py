@@ -94,3 +94,13 @@ def test_resume_from_state(tiny_dm, tmp_path):
     epochs = [h["epoch"] for h in r2.history]
     assert epochs == [3, 4], epochs
     assert np.isfinite(r2.history[-1]["train/loss_total"])
+
+
+def test_block_shuffle_trains(tiny_dm):
+    """Block-shuffle input pipeline converges like row shuffle."""
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=8, early_stopping_patience=None, shuffle="block")
+    result = trainer.fit(tiny_dm)
+    losses = [h["train/loss_total"] for h in result.history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
