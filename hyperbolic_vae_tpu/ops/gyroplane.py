@@ -46,7 +46,18 @@ def _interpret_mode() -> bool:
     return _INTERPRET
 
 
-def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None):
+def _arsinh_pallas(y):
+    """arsinh for Pallas TPU (asinh has no Mosaic lowering):
+    sign(y) * log(|y| + sqrt(y^2 + 1)), switching to log(2|y|) for large
+    |y| where y^2 would overflow f32."""
+    a = jnp.abs(y)
+    a_small = jnp.minimum(a, 1e10)
+    small = jnp.log(a_small + jnp.sqrt(a_small * a_small + 1.0))
+    big = jnp.log(jnp.maximum(a, 1e-30)) + math.log(2.0)
+    return jnp.sign(y) * jnp.where(a > 1e10, big, small)
+
+
+def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None, arsinh=jnp.arcsinh):
     """Shared elementwise tail: xp (B, P), x2 (B, 1), p2 (1, P) -> (B, P)."""
     sqrt_c = math.sqrt(c)
     den = jnp.maximum(1.0 - 2.0 * c * xp + c * c * p2 * x2, MIN_NORM)
@@ -67,7 +78,7 @@ def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None):
     p_norm = jnp.sqrt(jnp.maximum(p2, MIN_NORM**2))
     num = 2.0 * sqrt_c * sc_diff_a
     denom = jnp.maximum((1.0 - c * diff_norm2) * p_norm, MIN_NORM)
-    out = jnp.arcsinh(num / denom) / sqrt_c
+    out = arsinh(num / denom) / sqrt_c
     if bias is not None:
         out = out + bias
     return out
@@ -98,7 +109,9 @@ def _gyroplane_kernel(x_ref, pt_ref, bias_ref, out_ref, *, c: float, signed: boo
     xp = jax.lax.dot_general(
         x, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TB, TP)
-    out_ref[:] = _epilogue(xp, x2, p2, c, signed, bias_ref[:][None, :])
+    out_ref[:] = _epilogue(
+        xp, x2, p2, c, signed, bias_ref[:], arsinh=_arsinh_pallas
+    )
 
 
 def gyroplane_distances_pallas(
@@ -113,6 +126,7 @@ def gyroplane_distances_pallas(
     """Tiled Pallas version for 2-D x (B, D). Requires B % block_b == 0
     and P % block_p == 0 after clamping blocks to the array sizes."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     assert x.ndim == 2, "pallas path expects (B, D)"
     B, D = x.shape
@@ -128,10 +142,21 @@ def gyroplane_distances_pallas(
         out_shape=jax.ShapeDtypeStruct((B, P), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_p, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((block_p,), lambda i, j: (j,)),
+            pl.BlockSpec((block_b, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            # bias carried as (1, P): Mosaic rejects 1-D blocked operands
+            pl.BlockSpec((1, block_p), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, block_p), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec(
+            (block_b, block_p), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret_mode(),
-    )(x.astype(jnp.float32), points.astype(jnp.float32), jnp.asarray(bias, jnp.float32))
+    )(
+        x.astype(jnp.float32),
+        points.astype(jnp.float32),
+        jnp.asarray(bias, jnp.float32).reshape(1, -1),
+    )
