@@ -173,10 +173,17 @@ class PoincareHyperplanes(fnn.Module):
             "mp_points", init_points, (self.num_planes, self.plane_shape)
         )
         # fused formulation: one MXU matmul instead of a (..., P, D)
-        # Mobius-difference intermediate (ops/gyroplane.py)
-        from hyperbolic_vae_tpu.ops.gyroplane import gyroplane_distances
+        # Mobius-difference intermediate; for large 2-D (B, P) work the
+        # forward lowers to the Pallas kernel (ops/gyroplane.py)
+        from hyperbolic_vae_tpu.ops.gyroplane import (
+            gyroplane_distances,
+            gyroplane_distances_fast,
+        )
 
-        distance = gyroplane_distances(x, points, self.ball.c, signed=self.signed)
+        if x.ndim == 2:
+            distance = gyroplane_distances_fast(x, points, self.ball.c, self.signed, None)
+        else:
+            distance = gyroplane_distances(x, points, self.ball.c, signed=self.signed)
         if self.squared and self.signed:
             distance = jnp.sign(distance) * distance * distance
         elif self.squared:

@@ -98,6 +98,60 @@ def gyroplane_distances(
 
 
 # ---------------------------------------------------------------------- #
+# Differentiable auto-dispatch: Pallas forward for large (B, P), jnp
+# backward through the same analytic epilogue (Pallas kernels have no
+# automatic VJP; the backward here is two matmuls + the epilogue VJP,
+# which XLA fuses well on its own).
+
+_PALLAS_MIN_WORK = 256 * 256  # B*P below this: dispatch overhead dominates
+
+
+def _dist_from_stats(x, points, c, signed, bias):
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    p2 = jnp.sum(points * points, axis=-1)[None, :]
+    xp = jnp.matmul(x, points.T, preferred_element_type=jnp.float32)
+    return _epilogue(xp, x2, p2, c, signed, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gyroplane_distances_fast(x, points, c: float, signed: bool = True, bias=None):
+    """Like gyroplane_distances for 2-D x, but lowers the forward to the
+    Pallas kernel when the (B, P) tile is large enough to amortize it."""
+    B, P = x.shape[0], points.shape[0]
+    if B * P >= _PALLAS_MIN_WORK and not _interpret_mode():
+        return gyroplane_distances_pallas(x, points, c, signed=signed, bias=bias)
+    return _dist_from_stats(
+        x.astype(jnp.float32), points.astype(jnp.float32), c, signed,
+        None if bias is None else bias[None, :],
+    )
+
+
+def _gdf_fwd(x, points, c, signed, bias=None):
+    out = gyroplane_distances_fast(x, points, c, signed, bias)
+    return out, (x, points, bias)
+
+
+def _gdf_bwd(c, signed, residuals, g):
+    x, points, bias = residuals
+    x = x.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda xx, pp: _dist_from_stats(xx, pp, c, signed, None), x, points
+        )
+        dx, dp = vjp(g)
+        return dx, dp, None
+    _, vjp = jax.vjp(
+        lambda xx, pp, bb: _dist_from_stats(xx, pp, c, signed, bb[None, :]),
+        x, points, bias,
+    )
+    return vjp(g)
+
+
+gyroplane_distances_fast.defvjp(_gdf_fwd, _gdf_bwd)
+
+
+# ---------------------------------------------------------------------- #
 # Pallas kernel: tiles (B, P), full D contraction per tile.
 
 

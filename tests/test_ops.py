@@ -67,3 +67,36 @@ def test_fused_leading_dims():
     assert out.shape == (3, 5, 7)
     flat = gyroplane_distances(x.reshape(15, 2), pts, 1.0)
     np.testing.assert_allclose(np.asarray(out.reshape(15, 7)), np.asarray(flat), rtol=1e-6)
+
+
+def test_fast_dispatch_grads_match_fused():
+    """custom_vjp (pallas-forward path) gradients == plain jnp gradients."""
+    from hyperbolic_vae_tpu.ops import gyroplane_distances_fast
+
+    ball = PoincareBall(c=1.0)
+    x = _interior_points(jax.random.PRNGKey(10), 32, 4, ball)
+    pts = _interior_points(jax.random.PRNGKey(11), 8, 4, ball)
+    bias = jax.random.normal(jax.random.PRNGKey(12), (8,)) * 0.1
+
+    def loss_fast(x, p, b):
+        return jnp.sum(gyroplane_distances_fast(x, p, 1.0, True, b) ** 2)
+
+    def loss_ref(x, p, b):
+        return jnp.sum((gyroplane_distances(x, p, 1.0, signed=True) + b) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_fast, argnums=(0, 1, 2))(x, pts, bias)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, pts, bias)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fast_dispatch_no_bias_grads():
+    from hyperbolic_vae_tpu.ops import gyroplane_distances_fast
+
+    ball = PoincareBall(c=1.4)
+    x = _interior_points(jax.random.PRNGKey(13), 16, 3, ball)
+    pts = _interior_points(jax.random.PRNGKey(14), 4, 3, ball)
+    g = jax.grad(lambda p: jnp.sum(gyroplane_distances_fast(x, p, 1.4, True, None)))(pts)
+    g2 = jax.grad(lambda p: jnp.sum(gyroplane_distances(x, p, 1.4)))(pts)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4, atol=1e-6)
