@@ -13,12 +13,14 @@ from hyperbolic_vae_tpu.distributions.wrapped_normal import (
     WrappedNormal,
     wrapped_normal_log_prob,
     wrapped_normal_rsample,
+    wrapped_normal_rsample_from_eps,
 )
 
 __all__ = [
     "WrappedNormal",
     "wrapped_normal_rsample",
     "wrapped_normal_log_prob",
+    "wrapped_normal_rsample_from_eps",
     "RiemannianNormal",
     "sample_radius",
     "log_radius_normalizer",

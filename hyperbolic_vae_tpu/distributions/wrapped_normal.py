@@ -73,6 +73,15 @@ def wrapped_normal_rsample(
     loc, scale = jnp.broadcast_arrays(loc, scale)
     shape = tuple(sample_shape) + loc.shape
     eps = jax.random.normal(key, shape, dtype=jnp.float32)
+    return wrapped_normal_rsample_from_eps(ball, loc, scale, eps)
+
+
+def wrapped_normal_rsample_from_eps(
+    ball: PoincareBall, loc: jax.Array, scale: jax.Array, eps: jax.Array
+) -> jax.Array:
+    """Deterministic rsample given the standard-normal draw (testing /
+    fused-kernel parity hook)."""
+    loc, scale = jnp.broadcast_arrays(loc, scale)
     v = scale * eps
     # truncate to the f32-faithful chart radius (see MAX_SAMPLE_RADIUS)
     r_allowed = jnp.maximum(

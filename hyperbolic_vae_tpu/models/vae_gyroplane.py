@@ -97,9 +97,20 @@ class GyroplaneVAE(fnn.Module):
     def loss(self, x):
         """The reference's metric dict {loss_total, recon_loss, kl_loss}
         (vae_hyperbolic_gyroplane_decoder.py:104-152)."""
-        ball = self.ball
         out = self(x)
-        mu, scale, z, x_hat = out["mu"], out["scale"], out["z"], out["x_hat"]
+        return self._loss_parts(x, out["mu"], out["scale"], out["z"], out["x_hat"])
+
+    def loss_from_eps(self, x, eps):
+        """Deterministic loss given the standard-normal draw — the parity
+        hook for the fused Pallas step (ops/flagship_fused.py)."""
+        from hyperbolic_vae_tpu.distributions import wrapped_normal_rsample_from_eps
+
+        mu, scale = self.encode(x)
+        z = wrapped_normal_rsample_from_eps(self.ball, mu, scale, eps)
+        return self._loss_parts(x, mu, scale, z, self.decode(z))
+
+    def _loss_parts(self, x, mu, scale, z, x_hat):
+        ball = self.ball
         xf = x.reshape(x.shape[0], -1)
         xhf = x_hat.reshape(x.shape[0], -1)
         recon = -jnp.sum(relaxed_bernoulli_log_prob(xf, 1.0, probs=xhf), axis=-1)

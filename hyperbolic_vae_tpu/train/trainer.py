@@ -76,9 +76,14 @@ class Trainer:
         state_every_n_epochs: int = 1,
         debug_nans: bool = False,
         shuffle: str = "row",  # "row" (exact reference semantics) | "block" (TPU-fast)
+        loss_fn=None,  # optional fn(params, batch, key) -> metrics dict
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
+        # loss override: e.g. the fused Pallas flagship step
+        # (ops/flagship_fused.make_fused_loss_fn); defaults to
+        # model.apply(method='loss')
+        self.loss_fn = loss_fn
         self.state_every_n_epochs = state_every_n_epochs
         if debug_nans:
             # step-level NaN localization — the jit-world analogue of the
@@ -135,6 +140,11 @@ class Trainer:
         steps = n_train // batch_size
         model = self.model
         optimizer = self._optimizer
+        loss_metrics = self.loss_fn or (
+            lambda p, batch, key: model.apply(
+                {"params": p}, batch, method="loss", rngs={"sample": key}
+            )
+        )
 
         shuffle = self.shuffle
 
@@ -165,9 +175,7 @@ class Trainer:
                     batch = jax.lax.dynamic_slice_in_dim(x_all, xs, batch_size, axis=0)
 
                 def loss_fn(p):
-                    m = model.apply(
-                        {"params": p}, batch, method="loss", rngs={"sample": sk}
-                    )
+                    m = loss_metrics(p, batch, sk)
                     return m["loss_total"], m
 
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -198,9 +206,7 @@ class Trainer:
             def step(skey, batch_idx):
                 skey, sk = jax.random.split(skey)
                 batch = jnp.take(x_all, batch_idx, axis=0, mode="clip")
-                m = model.apply(
-                    {"params": params}, batch, method="loss", rngs={"sample": sk}
-                )
+                m = loss_metrics(params, batch, sk)
                 return skey, m
 
             _, ms = jax.lax.scan(step, key, idx)
