@@ -96,23 +96,30 @@ def _log_sinh_ratio(t):
     return jnp.where(t < 0.2, small, big)
 
 
-def _body(x, eps, p, *, c, beta, prior_scale, latent_dim, data_numel, dot):
+def _body(x, eps, p, *, c, beta, prior_scale, latent_dim, data_numel, dot,
+          bcast=None):
     """Forward + loss, parameterized by the dot primitive so the same
-    code serves the jnp mirror and the Pallas kernel."""
+    code serves the jnp mirror and the Pallas kernel. ``bcast`` lifts a
+    (1, k) row to (B, k): numpy broadcasting in the mirror, an
+    ones(B,1) @ row matmul in the kernel — Mosaic cannot lower the
+    axis-0 (sublane) reductions that AD's transpose of a plain broadcast
+    would otherwise emit for the bias gradients."""
     (w1, b1, w2, b2, wm, bm, ws, bs, pts, pb, w4, b4, w5, b5) = p
+    if bcast is None:
+        bcast = lambda row: row
     sqrt_c = math.sqrt(c)
     max_norm = (1.0 - BOUNDARY_EPS) / sqrt_c
     d_max = 2.0 / sqrt_c * math.atanh(1.0 - BOUNDARY_EPS)
 
     xf = x.reshape(x.shape[0], -1)
-    h = _gelu(dot(xf, w1) + b1)
-    h = _gelu(dot(h, w2) + b2)
-    mu_e = dot(h, wm) + bm
+    h = _gelu(dot(xf, w1) + bcast(b1))
+    h = _gelu(dot(h, w2) + bcast(b2))
+    mu_e = dot(h, wm) + bcast(bm)
     # expmap0 + project
     mu_n = _norm(mu_e)
     mu = _tanh(sqrt_c * mu_n) * mu_e / (sqrt_c * mu_n)
     mu = mu * jnp.minimum(max_norm / _norm(mu), 1.0)
-    scale = jnp.clip(jax.nn.softplus(dot(h, ws) + bs) + 1e-3, 1e-3, 10.0)
+    scale = jnp.clip(jax.nn.softplus(dot(h, ws) + bcast(bs)) + 1e-3, 1e-3, 10.0)
 
     # wrapped normal rsample (truncated tangent draw)
     mu2 = jnp.sum(mu * mu, axis=-1, keepdims=True)
@@ -132,7 +139,7 @@ def _body(x, eps, p, *, c, beta, prior_scale, latent_dim, data_numel, dot):
 
     # gyroplane distances (analytic epilogue) -> decoder
     z2 = jnp.sum(z * z, axis=-1, keepdims=True)
-    p2 = jnp.sum(pts * pts, axis=-1)[None, :]
+    p2 = bcast(jnp.sum(pts * pts, axis=-1)[None, :])
     zp = dot(z, pts.T)
     den = jnp.maximum(1.0 - 2.0 * c * zp + c * c * p2 * z2, MIN_NORM)
     alpha = (1.0 - 2.0 * c * zp + c * z2) / den
@@ -143,9 +150,9 @@ def _body(x, eps, p, *, c, beta, prior_scale, latent_dim, data_numel, dot):
                    MIN_NORM, max_d2)
     p_norm = jnp.sqrt(jnp.maximum(p2, MIN_NORM**2))
     dists = _arsinh(2.0 * sqrt_c * sc_diff / jnp.maximum((1.0 - c * dn2) * p_norm, MIN_NORM)) / sqrt_c
-    hd = _gelu(dists + pb)
-    hd = _gelu(dot(hd, w4) + b4)
-    xhat = jax.nn.sigmoid(dot(hd, w5) + b5)
+    hd = _gelu(dists + bcast(pb))
+    hd = _gelu(dot(hd, w4) + bcast(b4))
+    xhat = jax.nn.sigmoid(dot(hd, w5) + bcast(b5))
 
     # recon: RelaxedBernoulli(T=1, probs=xhat).log_prob(x)
     pclip = jnp.clip(xhat, 1e-7, 1.0 - 1e-7)
@@ -304,3 +311,181 @@ def make_fused_loss_fn(model):
         return {"loss_total": lt, "recon_loss": rm, "kl_loss": km}
 
     return loss_fn
+
+
+# ---------------------------------------------------------------------- #
+# Fully-fused TRAIN STEP: forward + backward + (Riemannian) Adam in ONE
+# Pallas kernel. The trick: jax.value_and_grad is applied INSIDE the
+# kernel function — autodiff happens at trace time and emits only
+# Pallas-lowerable elementwise/matmul/reduce ops, so no gradients are
+# derived by hand and no extra kernel launches exist per step.
+
+_MP_POINTS_IDX = 8  # position of gyroplanes/mp_points in _params_tuple
+_N_PARAMS = 14
+
+
+def _tuple_to_params(t) -> dict:
+    """Inverse of _params_tuple (restores 1-D biases)."""
+    def b(a):  # biases travel as (1, k)
+        return a.reshape(-1)
+
+    return {
+        "enc_0": {"kernel": t[0], "bias": b(t[1])},
+        "enc_1": {"kernel": t[2], "bias": b(t[3])},
+        "mu": {"kernel": t[4], "bias": b(t[5])},
+        "scale": {"kernel": t[6], "bias": b(t[7])},
+        "gyroplanes": {"mp_points": t[8], "bias": b(t[9])},
+        "dec_0": {"kernel": t[10], "bias": b(t[11])},
+        "out": {"kernel": t[12], "bias": b(t[13])},
+    }
+
+
+def _riemannian_adam_update_inline(p, g, m, v, lr, bc1, bc2, is_manifold, *, c,
+                                   b1=0.9, b2=0.999, adam_eps=1e-8):
+    """One optax-riemannian_adam-equivalent leaf update, pure jnp
+    (mirrors optim/riemannian_adam.py leaf_update)."""
+    sqrt_c = math.sqrt(c)
+    if is_manifold:
+        p2 = jnp.sum(p * p, axis=-1, keepdims=True)
+        lam = 2.0 / jnp.maximum(1.0 - c * p2, MIN_NORM)
+        g_r = g / (lam * lam)
+        new_m = b1 * m + (1.0 - b1) * g_r
+        new_v = b2 * v + (1.0 - b2) * (lam * lam) * g_r * g_r
+        direction = (new_m / bc1) / (jnp.sqrt(new_v / bc2) + adam_eps)
+        u = -lr * direction
+        # expmap(p, u)
+        u_n = _norm(u)
+        second = _tanh(sqrt_c * lam * u_n / 2.0) * u / (sqrt_c * u_n)
+        new_p = _mobius_add(p, second, c)
+        max_norm = (1.0 - BOUNDARY_EPS) / sqrt_c
+        new_p = new_p * jnp.minimum(max_norm / _norm(new_p), 1.0)
+        # transport new_m from p to new_p: gyr[new_p, -p] m * lam_p/lam_new
+        gyr = _mobius_add(
+            -_mobius_add(new_p, -p, c),
+            _mobius_add(new_p, _mobius_add(-p, new_m, c), c),
+            c,
+        )
+        np2 = jnp.sum(new_p * new_p, axis=-1, keepdims=True)
+        lam_new = 2.0 / jnp.maximum(1.0 - c * np2, MIN_NORM)
+        new_m = gyr * lam / lam_new
+        return new_p, new_m, new_v
+    new_m = b1 * m + (1.0 - b1) * g
+    new_v = b2 * v + (1.0 - b2) * g * g
+    new_p = p - lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + adam_eps)
+    return new_p, new_m, new_v
+
+
+def _train_kernel(scal_ref, x_ref, eps_ref, *refs, c, beta, prior_scale,
+                  latent_dim, data_numel):
+    n = _N_PARAMS
+    p = tuple(r[:] for r in refs[:n])
+    m = tuple(r[:] for r in refs[n : 2 * n])
+    v = tuple(r[:] for r in refs[2 * n : 3 * n])
+    out_metrics = refs[3 * n]
+    out_p = refs[3 * n + 1 : 3 * n + 1 + n]
+    out_m = refs[3 * n + 1 + n : 3 * n + 1 + 2 * n]
+    out_v = refs[3 * n + 1 + 2 * n : 3 * n + 1 + 3 * n]
+    lr = scal_ref[0, 0]
+    bc1 = scal_ref[0, 1]
+    bc2 = scal_ref[0, 2]
+
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    B = x_ref.shape[0]
+    ones_b1 = jnp.ones((B, 1), jnp.float32)
+    bcast = lambda row: dot(ones_b1, row)
+
+    def loss_fn(pt):
+        lt, rm, km = _body(
+            x_ref[:], eps_ref[:], pt, c=c, beta=beta, prior_scale=prior_scale,
+            latent_dim=latent_dim, data_numel=data_numel, dot=dot, bcast=bcast,
+        )
+        return lt, (rm, km)
+
+    # AD at trace time: the backward lowers into this same kernel.
+    (lt, (rm, km)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+
+    gnorm2 = sum(jnp.sum(g * g) for g in grads)
+    ok = jnp.isfinite(lt) & jnp.isfinite(gnorm2)
+    okf = ok.astype(jnp.float32)
+
+    for i in range(n):
+        new_p, new_m, new_v = _riemannian_adam_update_inline(
+            p[i], grads[i], m[i], v[i], lr, bc1, bc2,
+            is_manifold=(i == _MP_POINTS_IDX), c=c,
+        )
+        out_p[i][:] = jnp.where(ok, new_p, p[i])
+        out_m[i][:] = jnp.where(ok, new_m, m[i])
+        out_v[i][:] = jnp.where(ok, new_v, v[i])
+    out_metrics[:] = jnp.stack([lt, rm, km, 1.0 - okf]).reshape(1, 4)
+
+
+def make_fused_train_step(model, b1: float = 0.9, b2: float = 0.999):
+    """Returns step(params, opt_state, batch, key) -> (params, opt_state,
+    metrics) running the WHOLE training step as one Pallas kernel.
+    opt_state must be the Trainer's inject_hyperparams(riemannian_adam)
+    state; semantics match the optax path (tested)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert supports_fused(model)
+    cfg = dict(
+        c=float(model.manifold_curvature), beta=float(model.beta),
+        prior_scale=float(model.prior_scale), latent_dim=int(model.latent_dim),
+        data_numel=int(model.data_numel),
+    )
+    kernel = functools.partial(_flagship_train_kernel_entry, cfg=cfg)
+
+    def step(params, opt_state, batch, key):
+        inner = opt_state.inner_state
+        count = inner.count + 1
+        cf = count.astype(jnp.float32)
+        lr = opt_state.hyperparams["learning_rate"]
+        bc1 = 1.0 - jnp.power(b1, cf)
+        bc2 = 1.0 - jnp.power(b2, cf)
+        scal = jnp.stack([lr, bc1, bc2, 0.0]).reshape(1, 4).astype(jnp.float32)
+        eps = jax.random.normal(key, (batch.shape[0], cfg["latent_dim"]), jnp.float32)
+        xf = batch.reshape(batch.shape[0], -1).astype(jnp.float32)
+
+        def two_d(a):
+            return a if a.ndim >= 2 else a[None, :]
+
+        p_t = tuple(two_d(a) for a in _params_tuple(params))
+        m_t = tuple(two_d(a) for a in _params_tuple(inner.exp_avg))
+        v_t = tuple(two_d(a) for a in _params_tuple(inner.exp_avg_sq))
+        n = _N_PARAMS
+        out_shapes = (
+            [jax.ShapeDtypeStruct((1, 4), jnp.float32)]
+            + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in p_t] * 3
+        )
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shapes),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 3 * n),
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 3 * n)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=jax.devices()[0].platform not in ("tpu",),
+        )(scal, xf, eps, *p_t, *m_t, *v_t)
+        metrics_arr = outs[0]
+        new_p = _tuple_to_params(outs[1 : 1 + n])
+        new_m = _tuple_to_params(outs[1 + n : 1 + 2 * n])
+        new_v = _tuple_to_params(outs[1 + 2 * n : 1 + 3 * n])
+        new_inner = inner._replace(count=count, exp_avg=new_m, exp_avg_sq=new_v)
+        new_opt_state = opt_state._replace(inner_state=new_inner)
+        metrics = {
+            "loss_total": metrics_arr[0, 0],
+            "recon_loss": metrics_arr[0, 1],
+            "kl_loss": metrics_arr[0, 2],
+            "skipped_steps": metrics_arr[0, 3],
+        }
+        return new_p, new_opt_state, metrics
+
+    return step
+
+
+def _flagship_train_kernel_entry(*refs, cfg):
+    _train_kernel(*refs, **cfg)

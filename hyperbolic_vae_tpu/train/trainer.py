@@ -77,6 +77,7 @@ class Trainer:
         debug_nans: bool = False,
         shuffle: str = "row",  # "row" (exact reference semantics) | "block" (TPU-fast)
         loss_fn=None,  # optional fn(params, batch, key) -> metrics dict
+        train_step_fn=None,  # optional fn(params, opt_state, batch, key) -> (params, opt_state, metrics)
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -84,6 +85,10 @@ class Trainer:
         # (ops/flagship_fused.make_fused_loss_fn); defaults to
         # model.apply(method='loss')
         self.loss_fn = loss_fn
+        # full-step override: e.g. the single-kernel fused train step
+        # (ops/flagship_fused.make_fused_train_step) - replaces
+        # grad + optimizer entirely (its own in-kernel nonfinite guard)
+        self.train_step_fn = train_step_fn
         self.state_every_n_epochs = state_every_n_epochs
         if debug_nans:
             # step-level NaN localization — the jit-world analogue of the
@@ -147,6 +152,7 @@ class Trainer:
         )
 
         shuffle = self.shuffle
+        train_step_fn = self.train_step_fn
 
         def train_epoch(params, opt_state, x_all, key):
             perm_key, sample_key, off_key = jax.random.split(key, 3)
@@ -173,6 +179,10 @@ class Trainer:
                     batch = jnp.take(x_all, xs, axis=0, mode="clip")  # in-bounds by construction; default "fill" gather miscompiles on some TPU backends
                 else:
                     batch = jax.lax.dynamic_slice_in_dim(x_all, xs, batch_size, axis=0)
+
+                if train_step_fn is not None:
+                    params, opt_state, metrics = train_step_fn(params, opt_state, batch, sk)
+                    return (params, opt_state, skey), metrics
 
                 def loss_fn(p):
                     m = loss_metrics(p, batch, sk)
