@@ -340,7 +340,11 @@ class Trainer:
             if monitored is not None and np.isfinite(monitored):
                 if monitored < best_metric:
                     best_metric = monitored
-                    best_params = params
+                    # copy: the live params buffer is DONATED to the next
+                    # epoch call — keeping a bare reference would leave
+                    # best_params pointing at freed memory whenever the
+                    # best epoch is not the last one
+                    best_params = jax.tree.map(jnp.copy, params)
                     if self._ckpt_mgr:
                         self._ckpt_mgr.save_best(epoch, params, metrics)
                 self.plateau.step(monitored)

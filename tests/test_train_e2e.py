@@ -104,3 +104,23 @@ def test_block_shuffle_trains(tiny_dm):
     losses = [h["train/loss_total"] for h in result.history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_best_params_survive_donation():
+    """Regression: best_params must be a copy — the live buffer is donated
+    to the next epoch, so a mid-run best used to return deleted arrays."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (256, 8, 8, 1)).astype(np.float32)
+    y = np.zeros(256, np.int32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=y, x_val=x[:64], y_val=y[:64],
+        x_test=x[:64], y_test=y[:64], batch_size=64,
+    )
+    model = GyroplaneVAE(data_shape=(8, 8, 1), latent_dim=2)
+    trainer = Trainer(model, max_epochs=20, early_stopping_patience=None)
+    result = trainer.fit(dm)
+    # converting every leaf raises RuntimeError if any buffer was deleted
+    for leaf in jax.tree.leaves(result.best_params):
+        np.asarray(leaf)
+    ms = trainer.evaluate(dm, result.best_params, "test")
+    assert np.isfinite(ms["test/loss_total"])
