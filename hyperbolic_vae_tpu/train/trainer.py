@@ -26,8 +26,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -135,11 +134,6 @@ class Trainer:
             self._ckpt_mgr = CheckpointManager(checkpoint_dir, monitor=monitor)
 
     # ------------------------------------------------------------------ #
-
-    def _loss_metrics(self, params, batch, sample_key):
-        return self.model.apply(
-            {"params": params}, batch, method="loss", rngs={"sample": sample_key}
-        )
 
     def _build_epoch_fns(self, n_train: int, batch_size: int, n_val: int):
         steps = n_train // batch_size
