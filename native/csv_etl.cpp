@@ -25,12 +25,78 @@
 
 namespace {
 
-// Fast float parse: strtof is locale-dependent and slow-ish but correct;
-// the hot loop avoids re-scanning by tracking the cursor.
+// Hand-rolled decimal float parser: strtof is locale-aware and dominates
+// the parse profile. Handles [+-]?digits[.digits]?([eE][+-]?digits)? with
+// double accumulation (exact for the <= 9 significant digits these TPM
+// files carry); anything unusual falls back to strtof.
+static const double kPow10[] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10,
+    1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
 inline const char* parse_float(const char* p, const char* end, float* out) {
-  char* next = nullptr;
-  *out = std::strtof(p, &next);
-  return (next && next <= end) ? next : end;
+  const char* start = p;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  uint64_t mant = 0;
+  int digits = 0;
+  int frac_digits = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    if (digits < 18) {
+      mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+      ++digits;
+    } else {
+      ++frac_digits;  // reuse as "dropped integer digits" (negated below)
+    }
+    any = true;
+    ++p;
+  }
+  int dropped_int = frac_digits;
+  frac_digits = 0;
+  if (p < end && *p == '.') {
+    ++p;
+    while (p < end && *p >= '0' && *p <= '9') {
+      if (digits < 18) {
+        mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+        ++digits;
+        ++frac_digits;
+      }
+      any = true;
+      ++p;
+    }
+  }
+  if (!any) {  // not a plain number (nan/inf/empty) -> strtof fallback
+    char* next = nullptr;
+    *out = std::strtof(start, &next);
+    return (next && next <= end && next > start) ? next : end;
+  }
+  int exp10 = dropped_int - frac_digits;
+  if (p < end && (*p == 'e' || *p == 'E')) {
+    ++p;
+    bool eneg = false;
+    if (p < end && (*p == '-' || *p == '+')) {
+      eneg = (*p == '-');
+      ++p;
+    }
+    int e = 0;
+    while (p < end && *p >= '0' && *p <= '9') {
+      e = e * 10 + (*p - '0');
+      ++p;
+    }
+    exp10 += eneg ? -e : e;
+  }
+  double v = static_cast<double>(mant);
+  if (exp10 > 0) {
+    v = (exp10 <= 22) ? v * kPow10[exp10] : v * std::pow(10.0, exp10);
+  } else if (exp10 < 0) {
+    int e = -exp10;
+    v = (e <= 22) ? v / kPow10[e] : v / std::pow(10.0, e);
+  }
+  *out = static_cast<float>(neg ? -v : v);
+  return p;
 }
 
 struct FileMap {
