@@ -14,3 +14,24 @@ __version__ = "0.1.0"
 from hyperbolic_vae_tpu.manifolds import Euclidean, PoincareBall
 
 __all__ = ["PoincareBall", "Euclidean", "__version__"]
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (avoid importing flax/optax at package
+    import time): Trainer, models, distributions."""
+    if name in ("Trainer", "make_trainer_hyperbolic"):
+        from hyperbolic_vae_tpu import train
+
+        return getattr(train, name)
+    if name in (
+        "GyroplaneVAE", "EuclideanVAE", "HyperbolicImageVAE",
+        "UnifiedVAE", "RNASeqVAE", "Autoencoder", "PvaeMLPVAE",
+    ):
+        from hyperbolic_vae_tpu import models
+
+        return getattr(models, name)
+    if name in ("WrappedNormal", "RiemannianNormal"):
+        from hyperbolic_vae_tpu import distributions
+
+        return getattr(distributions, name)
+    raise AttributeError(name)

@@ -19,10 +19,26 @@ _LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / "libhvae_
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _try_build() -> None:
+    """Best-effort `make -C native` on first use (the .so is not
+    committed; the toolchain is baked into the image)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(_LIB_PATH.parent)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:  # no make / sandboxed: stay on the pandas fallback
+        logger.info("native build unavailable; using pandas fallback")
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
