@@ -27,6 +27,7 @@ if __name__ == "__main__":
     parser.add_argument("--kl-method", type=str, default="logmap0_analytic")
     parser.add_argument("--recon", type=str, default="MSE")
     parser.add_argument("--last-activation", type=str, default="sigmoid")
+    parser.add_argument("--tp", type=int, default=1, help="model-axis size (tensor parallelism over the wide layers)")
     parser.set_defaults(batch_size=64)
     args = parser.parse_args()
     run_dir = setup(args, "vaes_rnaseq")
@@ -60,6 +61,16 @@ if __name__ == "__main__":
         last_activation=args.last_activation,
         loss_recon_method=args.recon,
     )
+    mesh = None
+    param_sharding_fn = None
+    if args.tp > 1:
+        from hyperbolic_vae_tpu.parallel import make_mesh
+        from hyperbolic_vae_tpu.parallel.sharding_rules import tp_param_shardings
+
+        import jax
+
+        mesh = make_mesh(n_data=max(len(jax.devices()) // args.tp, 1), n_model=args.tp)
+        param_sharding_fn = tp_param_shardings
     trainer = Trainer(
         model,
         lr=args.lr,
@@ -69,7 +80,9 @@ if __name__ == "__main__":
         log_dir=str(run_dir),
         checkpoint_dir=str(run_dir / "ckpt"),
         callbacks=callbacks,
-        use_mesh=args.use_mesh,
+        use_mesh=args.use_mesh and mesh is None,
+        mesh=mesh,
+        param_sharding_fn=param_sharding_fn,
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

@@ -77,6 +77,7 @@ class Trainer:
         shuffle: str = "row",  # "row" (exact reference semantics) | "block" (TPU-fast)
         loss_fn=None,  # optional fn(params, batch, key) -> metrics dict
         train_step_fn=None,  # optional fn(params, opt_state, batch, key) -> (params, opt_state, metrics)
+        param_sharding_fn=None,  # optional fn(params, mesh) -> sharding pytree (tensor parallelism)
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -88,6 +89,10 @@ class Trainer:
         # (ops/flagship_fused.make_fused_train_step) - replaces
         # grad + optimizer entirely (its own in-kernel nonfinite guard)
         self.train_step_fn = train_step_fn
+        # tensor-parallel parameter placement over the mesh's 'model'
+        # axis (e.g. parallel.sharding_rules.tp_param_shardings for the
+        # wide RNA-seq layers); default: replicate params
+        self.param_sharding_fn = param_sharding_fn
         self.state_every_n_epochs = state_every_n_epochs
         if debug_nans:
             # step-level NaN localization — the jit-world analogue of the
@@ -241,7 +246,10 @@ class Trainer:
         )
         params = variables["params"]
         if self.mesh is not None:
-            params = jax.device_put(params, replicated(self.mesh))
+            if self.param_sharding_fn is not None:
+                params = jax.device_put(params, self.param_sharding_fn(params, self.mesh))
+            else:
+                params = jax.device_put(params, replicated(self.mesh))
         return params
 
     # ------------------------------------------------------------------ #

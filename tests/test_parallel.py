@@ -58,3 +58,33 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+def test_trainer_fit_with_tensor_parallelism():
+    """Full Trainer.fit under a (data=4, model=2) mesh with the RNA-seq TP
+    rules — params sharded over 'model', batch over 'data', XLA inserts
+    the collectives; losses must match the single-device run closely."""
+    import numpy as np
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (512, 256)).astype(np.float32)
+    y = np.zeros(512, np.int32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=y, x_val=x[:128], y_val=y[:128],
+        x_test=x[:128], y_test=y[:128], batch_size=64,
+    )
+    model = RNASeqVAE(in_features=256, hidden_dim=32, latent_dim=2)
+
+    t1 = Trainer(model, max_epochs=2, early_stopping_patience=None, seed=5)
+    r1 = t1.fit(dm)
+    t_tp = Trainer(
+        model, max_epochs=2, early_stopping_patience=None, seed=5,
+        mesh=make_mesh(n_data=4, n_model=2),
+        param_sharding_fn=tp_param_shardings,
+    )
+    r2 = t_tp.fit(dm)
+    l1 = [h["train/loss_total"] for h in r1.history]
+    l2 = [h["train/loss_total"] for h in r2.history]
+    np.testing.assert_allclose(l1, l2, rtol=1e-3)

@@ -259,3 +259,22 @@ def test_logdetexp_grad_finite_at_coincident_points():
 
     g2 = jax.grad(f2)(jnp.array([0.0, 1e-10, 1e-7, 0.05, 0.5, 5.0]))
     assert np.all(np.isfinite(np.asarray(g2))), g2
+
+
+def test_bf16_boundary_stability():
+    """bf16 inputs near the projection boundary: all core ops upcast and
+    stay finite (driver BASELINE.json names boundary-stability explicitly)."""
+    ball = PoincareBall(c=1.0)
+    r = 1.0 - 4e-3
+    x = jnp.array([[r, 0.0], [0.0, -r], [r / 2, r / 2]], dtype=jnp.bfloat16)
+    y = jnp.array([[0.1, 0.2]], dtype=jnp.bfloat16)
+    for val in (
+        ball.dist(x, y),
+        ball.logdetexp(x, y),
+        ball.logmap(x, jnp.broadcast_to(y, x.shape)),
+        ball.dist2plane(x, y, y, signed=True),
+        ball.lambda_x(x),
+        ball.expmap(x, ball.logmap(x, jnp.broadcast_to(y, x.shape))),
+    ):
+        assert val.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(val))), val
