@@ -66,7 +66,8 @@ def normalize_rnaseq(x: np.ndarray, method: str | None) -> np.ndarray:
         return x / np.maximum(x.sum(axis=1, keepdims=True), 1e-12) * 1_000_000
     if method == "z_score":
         mu = x.mean(axis=0, keepdims=True)
-        sd = x.std(axis=0, keepdims=True, ddof=1)
+        # ddof=0 matches scipy.stats.zscore's default (the reference's call)
+        sd = x.std(axis=0, keepdims=True, ddof=0)
         return (x - mu) / np.maximum(sd, 1e-12)
     raise ValueError(f"rnaseq_normalize_method {method} not recognized")
 
@@ -118,15 +119,24 @@ def read_tpm(path_csv, skiprows=None, use_native: bool = True) -> "pandas.DataFr
         from hyperbolic_vae_tpu.data import native
 
         if native.is_available():
-            with open(path_csv) as f:
-                header = f.readline().rstrip("\n").split(",")
-                index = [line.split(",", 1)[0] for line in f]
-            values = native.read_csv_matrix(path_csv)
-            cell_ids = header[1:] if len(header) - 1 == values.shape[1] else header
-            df = pd.DataFrame(values, index=index, columns=cell_ids)
-            df = df.rename_axis(index=columns.GENE_SYMBOL, columns=columns.SINGLE_CELL_ID)
-            df = df.sort_index(axis="columns").sort_index(axis="index")
-            return df.T
+            try:
+                with open(path_csv) as f:
+                    header = f.readline().rstrip("\n").split(",")
+                    index = [line.split(",", 1)[0] for line in f]
+                values = native.read_csv_matrix(path_csv)
+                cell_ids = header[1:] if len(header) - 1 == values.shape[1] else header
+                df = pd.DataFrame(values, index=index, columns=cell_ids)
+                df = df.rename_axis(index=columns.GENE_SYMBOL, columns=columns.SINGLE_CELL_ID)
+                df = df.sort_index(axis="columns").sort_index(axis="index")
+                return df.T
+            except RuntimeError as e:
+                # malformed/ragged CSV the native parser refuses: fall back
+                # to pandas rather than failing the whole load
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native CSV parse failed (%s); falling back to pandas", e
+                )
     if skiprows is None:
         df = pd.read_csv(path_csv, engine="pyarrow", index_col=0)
     else:

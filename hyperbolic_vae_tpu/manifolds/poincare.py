@@ -367,11 +367,16 @@ class PoincareBall:
 
     def wrapped_normal(self, key: jax.Array, shape, mean: jax.Array, std=1.0) -> jax.Array:
         """Sample from a wrapped normal centred at ``mean`` (convenience;
-        the full distribution lives in distributions.wrapped_normal)."""
-        eps = jax.random.normal(key, shape, dtype=jnp.float32) * std
-        v = eps / self.lambda_x(mean)
-        u = self.transp0(mean, v)
-        return self.expmap(mean, u)
+        delegates to distributions.wrapped_normal so the tangent draw is
+        scaled by lambda at the ORIGIN (=2) and chart-truncated exactly
+        like the distribution's rsample/log_prob pair)."""
+        from hyperbolic_vae_tpu.distributions.wrapped_normal import (
+            wrapped_normal_rsample_from_eps,
+        )
+
+        eps = jax.random.normal(key, shape, dtype=jnp.float32)
+        std = jnp.broadcast_to(jnp.asarray(std, jnp.float32), shape)
+        return wrapped_normal_rsample_from_eps(self, mean, std, eps)
 
 
 # Reference-parity alias (/root/reference/hyperbolic_vae/manifolds.py:12).

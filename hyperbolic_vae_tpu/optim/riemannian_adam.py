@@ -22,11 +22,11 @@ is a pure pytree map under jit, so XLA fuses the moment updates with the
 expmap/transport math into one kernel per parameter.
 
 Because the update needs the CURRENT PARAMS (expmap base point) and optax
-updates are param-free by default, use ``update(grads, state, params)``
-— params are required (like optax's weight-decay transforms), and apply
-via ``apply_updates_riemannian`` which REPLACES manifold leaves instead
-of adding deltas. A sentinel marker in the update leaf tells the apply
-function which leaves are replacements.
+updates are param-free by default, ``update(grads, state, params)``
+requires params (like optax's weight-decay transforms). For manifold
+leaves the returned update is the DELTA ``new_point - p``, so plain
+``optax.apply_updates`` lands exactly on the retracted point — no custom
+apply function is needed (train/trainer.py applies it that way).
 """
 
 from __future__ import annotations

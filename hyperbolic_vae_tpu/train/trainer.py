@@ -208,8 +208,12 @@ class Trainer:
 
         eval_batch = min(batch_size, n_val)
         eval_steps = max(n_val // eval_batch, 1)
+        # the n_val % eval_batch tail is evaluated as its own (tiny) jitted
+        # batch and folded in with an exact sample-count weighting, so the
+        # monitored metric covers the FULL split like the reference's
+        eval_rem = n_val - eval_steps * eval_batch
 
-        def eval_epoch(params, x_all, key):
+        def eval_scan(params, x_all, key):
             idx = jnp.arange(eval_steps * eval_batch).reshape(eval_steps, eval_batch)
 
             def step(skey, batch_idx):
@@ -221,10 +225,28 @@ class Trainer:
             _, ms = jax.lax.scan(step, key, idx)
             return jax.tree.map(jnp.mean, ms)
 
+        eval_scan_jit = jax.jit(eval_scan)
+        eval_tail_jit = jax.jit(loss_metrics) if eval_rem else None
+        mesh = self.mesh
+
+        def eval_epoch(params, x_all, key):
+            k_main, k_tail = jax.random.split(key)
+            ms = eval_scan_jit(params, x_all, k_main)
+            if eval_rem:
+                start = eval_steps * eval_batch
+                x_tail = x_all[start : start + eval_rem]
+                if mesh is not None:
+                    x_tail = jax.device_put(x_tail, replicated(mesh))
+                tm = eval_tail_jit(params, x_tail, k_tail)
+                w_main = (eval_steps * eval_batch) / n_val
+                w_tail = eval_rem / n_val
+                ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)
+            return ms
+
         donate = (0, 1)
         return (
             jax.jit(train_epoch, donate_argnums=donate),
-            jax.jit(eval_epoch),
+            eval_epoch,
         )
 
     def _stage(self, x: np.ndarray):
@@ -303,7 +325,9 @@ class Trainer:
 
         history = []
         best_metric = float("inf")
-        best_params = params
+        # copy, not reference: params is donated to the first epoch call, so
+        # if the monitor is never finite best_params must not alias freed HBM
+        best_params = jax.tree.map(jnp.copy, params)
         steps = n_train // dm.batch_size
         samples_per_epoch = steps * dm.batch_size
         total_samples = 0

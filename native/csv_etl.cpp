@@ -68,10 +68,15 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
       ++p;
     }
   }
-  if (!any) {  // not a plain number (nan/inf/empty) -> strtof fallback
+  if (!any) {  // not a plain number (nan/inf/empty/NA) -> strtof fallback
     char* next = nullptr;
     *out = std::strtof(start, &next);
-    return (next && next <= end && next > start) ? next : end;
+    if (next && next <= end && next > start) return next;
+    // unparseable field (empty, "NA", ...): emit NaN and leave the cursor
+    // at the field start so the caller's comma scan still advances — one
+    // missing value must not fail the whole file (ADVICE round 1)
+    *out = std::nanf("");
+    return start;
   }
   int exp10 = dropped_int - frac_digits;
   if (p < end && (*p == 'e' || *p == 'E')) {

@@ -120,3 +120,15 @@ def test_parquet_split_roundtrip(tmp_path):
     assert dm.x_train.shape[1] == dm.x_val.shape[1] == dm.x_test.shape[1]
     assert np.isfinite(dm.x_train).all()
     assert set(dm.y_train) <= set(range(len(dm.label_names)))
+
+
+def test_zscore_matches_scipy_default_ddof():
+    """Reference normalizes with scipy.stats.zscore (ddof=0); round-1 used
+    ddof=1 (ADVICE)."""
+    from hyperbolic_vae_tpu.data.jerby_arnon import normalize_rnaseq
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 10, (13, 5)).astype(np.float32)
+    got = normalize_rnaseq(x, "z_score")
+    exp = (x - x.mean(0)) / x.std(0, ddof=0)
+    np.testing.assert_allclose(got, exp, atol=1e-5)

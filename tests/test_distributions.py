@@ -251,3 +251,17 @@ def test_rsample_log_prob_roundtrip_consistency():
     u = ball.transp0back(loc, v) * 2.0
     stds = np.asarray(u).std(axis=0)[0]
     np.testing.assert_allclose(stds, np.asarray(scale)[0], rtol=0.15)
+
+
+def test_manifold_wrapped_normal_helper_matches_distribution():
+    """PoincareBall.wrapped_normal must be the SAME sampler as
+    distributions.wrapped_normal (round-1 ADVICE: it used to divide by
+    lambda_x(mean) instead of lambda at the origin)."""
+    ball = PoincareBall(c=1.0)
+    loc = ball.expmap0(jnp.array([0.4, -0.2]))
+    key = jax.random.PRNGKey(11)
+    z_helper = ball.wrapped_normal(key, (512, 2), loc, std=0.3)
+    z_dist = wrapped_normal_rsample(
+        key, ball, loc, 0.3 * jnp.ones(2), sample_shape=(512,)
+    )
+    np.testing.assert_allclose(np.asarray(z_helper), np.asarray(z_dist), atol=1e-6)

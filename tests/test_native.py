@@ -50,3 +50,16 @@ def test_read_tpm_native_matches_pandas(small_csv):
     np.testing.assert_allclose(
         df_native.to_numpy(np.float32), df_pandas.to_numpy(np.float32), atol=1e-4
     )
+
+
+def test_missing_values_parse_as_nan(tmp_path):
+    """Empty and 'NA' fields must yield NaN, not fail the whole file
+    (round-1 ADVICE: parse_float fallback used to return line_end)."""
+    p = tmp_path / "na.csv"
+    p.write_text("gene,c1,c2,c3\ng1,1.5,NA,3\ng2,,2.25e1,-4\n")
+    m = native.read_csv_matrix(p)
+    assert m.shape == (2, 3)
+    assert np.isnan(m[0, 1]) and np.isnan(m[1, 0])
+    np.testing.assert_allclose(
+        [m[0, 0], m[0, 2], m[1, 1], m[1, 2]], [1.5, 3.0, 22.5, -4.0]
+    )

@@ -124,3 +124,29 @@ def test_best_params_survive_donation():
         np.asarray(leaf)
     ms = trainer.evaluate(dm, result.best_params, "test")
     assert np.isfinite(ms["test/loss_total"])
+
+
+def test_eval_covers_full_split_including_tail():
+    """evaluate() must weight in the n % batch_size tail (round-1 ADVICE:
+    it used to silently drop it). With a deterministic loss_fn the metric
+    must equal the exact full-split mean."""
+
+    class DummyModel:
+        ball = None
+        lr = 1e-3
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (640, 4)).astype(np.float32)
+    # 100 = 1*64 + 36: mean over first 64 differs from mean over all 100
+    x_test = rng.normal(3, 1, (100, 4)).astype(np.float32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=np.zeros(640, np.int32),
+        x_val=x_test, y_val=np.zeros(100, np.int32),
+        x_test=x_test, y_test=np.zeros(100, np.int32), batch_size=64,
+    )
+    trainer = Trainer(
+        DummyModel(), max_epochs=1,
+        loss_fn=lambda p, batch, key: {"loss_total": jnp.mean(batch)},
+    )
+    got = trainer.evaluate(dm, params={}, split="test")["test/loss_total"]
+    assert abs(got - float(x_test.mean())) < 1e-5
