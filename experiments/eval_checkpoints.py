@@ -1,43 +1,75 @@
-"""Evaluate saved checkpoints on the MNIST test split.
+"""Evaluate saved checkpoints on a test split — model-agnostic.
 
 The runnable version of the reference's stub /root/reference/scripts/
-_5_eval_on_mnist_test.py (its body is commented out, :8-24): glob run
-directories for checkpoints, restore, report test metrics per run.
+_5_eval_on_mnist_test.py (its body is commented out, :8-24), built on
+self-describing checkpoints: every Trainer checkpoint embeds the model's
+class + constructor hparams (Lightning ``save_hyperparameters`` parity,
+/root/reference/hyperbolic_vae/models/vae_hyperbolic.py:145-153), so one
+eval command restores ANY model family via ``restore_model`` — no
+hard-coded architecture flags.
 """
 
+import glob as globlib
 import json
 from pathlib import Path
 
 from common import base_parser, setup
 
-from hyperbolic_vae_tpu.data import mnist
-from hyperbolic_vae_tpu.models import GyroplaneVAE
 from hyperbolic_vae_tpu.train import Trainer
-from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager
+from hyperbolic_vae_tpu.train.checkpoint import restore_model
+
+
+def data_module_for(model, args):
+    """Pick the dataset family from the restored model's input signature."""
+    in_features = getattr(model, "in_features", None)
+    data_shape = tuple(
+        getattr(model, "data_shape", None)
+        or getattr(model, "input_size", None)
+        or (in_features,)
+    )
+    if len(data_shape) == 1 and data_shape[0] != 784:
+        # flat gene-expression vector -> RNA-seq family
+        from hyperbolic_vae_tpu.data.jerby_arnon import make_rnaseq_data_module
+
+        return make_rnaseq_data_module(
+            batch_size=args.batch_size, fake=args.synthetic,
+            n_genes=data_shape[0], data_dir=args.data_dir,
+        )
+    if data_shape[:2] == (32, 32):
+        from hyperbolic_vae_tpu.data import cifar10
+
+        return cifar10.make_data_module(
+            batch_size=args.batch_size, data_dir=args.data_dir,
+            synthetic=args.synthetic, n_train=args.n_train,
+        )
+    from hyperbolic_vae_tpu.data import mnist
+
+    return mnist.make_data_module(
+        batch_size=args.batch_size, data_dir=args.data_dir,
+        synthetic=args.synthetic, n_train=args.n_train,
+    )
+
 
 if __name__ == "__main__":
     parser = base_parser(__doc__)
     parser.add_argument("--glob", type=str, default="runs/*/ckpt", help="checkpoint dir glob")
-    parser.add_argument("--latent-dim", type=int, default=2)
-    parser.add_argument("--curvature", type=float, default=1.0)
+    parser.add_argument("--which", type=str, default="best", choices=["best", "last"])
     args = parser.parse_args()
     setup(args, "eval_checkpoints")
-    dm = mnist.make_data_module(
-        batch_size=args.batch_size, data_dir=args.data_dir,
-        synthetic=args.synthetic, n_train=args.n_train,
-    )
-    model = GyroplaneVAE(
-        data_shape=dm.input_shape, latent_dim=args.latent_dim,
-        manifold_curvature=args.curvature,
-    )
-    trainer = Trainer(model, max_epochs=1)
-    template = trainer.init_params(dm.x_train)
     results = {}
-    for ckpt_dir in sorted(Path(".").glob(args.glob)):
-        mgr = CheckpointManager(str(ckpt_dir))
-        if mgr.best_metadata() is None:
+    for ckpt_dir in sorted(Path(p) for p in globlib.glob(args.glob)):
+        try:
+            model, params, meta = restore_model(str(ckpt_dir), args.which)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"skip {ckpt_dir}: {e}")
             continue
-        params = mgr.restore("best", like=template)
-        results[str(ckpt_dir)] = trainer.evaluate(dm, params, "test")
+        dm = data_module_for(model, args)
+        trainer = Trainer(model, max_epochs=1)
+        metrics = trainer.evaluate(dm, params, "test")
+        results[str(ckpt_dir)] = {
+            "model": meta["model"]["__model_class__"],
+            "epoch": meta.get("epoch"),
+            **metrics,
+        }
         print(ckpt_dir, results[str(ckpt_dir)])
     print(json.dumps(results, indent=2))

