@@ -78,6 +78,21 @@ class TorchBall:
         dim = x.shape[-1]
         return (dim - 1) * (torch.sinh(t).log() - math.log(self.sqrt_c) - d.clamp_min(1e-7).log())
 
+    def project(self, x):
+        # geoopt's f32 boundary margin (same 4e-3 as the JAX PoincareBall)
+        max_norm = (1.0 - 4e-3) / self.sqrt_c
+        norm = x.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
+        return torch.where(norm > max_norm, x / norm * max_norm, x)
+
+    def gyration(self, u, v, w):
+        # gyr[u, v]w = (-(u (+) v)) (+) (u (+) (v (+) w))
+        return self.mobius_add(
+            -self.mobius_add(u, v), self.mobius_add(u, self.mobius_add(v, w))
+        )
+
+    def transp(self, x, y, v):
+        return self.gyration(y, -x, v) * self.lambda_x(x) / self.lambda_x(y)
+
     def dist2plane(self, x, p, a, signed=True):
         diff = self.mobius_add(-p, x)
         diff_norm2 = diff.pow(2).sum(-1).clamp_min(MIN_NORM)
@@ -99,8 +114,14 @@ class TorchGyroplaneVAE(nn.Module):
         )
         self.mu = nn.Linear(hidden[1], latent)
         self.scale = nn.Linear(hidden[1], latent)
-        self.points = nn.Parameter(torch.randn(hidden[1], latent) * 0.3)
-        self.plane_bias = nn.Parameter(torch.zeros(hidden[1]))
+        # gyroplane points live ON the ball (like the reference's geoopt
+        # ManifoldParameter and the JAX mp_points): direction uniform on
+        # the sphere, radius ~ N(0, 1), expmap0
+        direction = torch.randn(hidden[1], latent)
+        direction = direction / direction.norm(dim=-1, keepdim=True)
+        radius = torch.randn(hidden[1], 1)
+        self.mp_points = nn.Parameter(self.ball.expmap0(direction * radius))
+        self.plane_bias = nn.Parameter(torch.rand(hidden[1]) * 2.0 - 1.0)
         self.dec = nn.Sequential(
             nn.GELU(), nn.Linear(hidden[1], hidden[0]), nn.GELU(), nn.Linear(hidden[0], data_numel), nn.Sigmoid()
         )
@@ -109,11 +130,12 @@ class TorchGyroplaneVAE(nn.Module):
         ball = self.ball
         h = self.enc(x)
         mu = ball.expmap0(self.mu(h))
-        scale = F.softplus(self.scale(h))
+        # same posterior-scale floor/cap as the JAX arm (vae_gyroplane.py)
+        scale = (F.softplus(self.scale(h)) + 1e-3).clamp(1e-3, 10.0)
         eps = torch.randn_like(scale)
         v = scale * eps / 2.0
         z = ball.expmap(mu, ball.transp0(mu, v))
-        pts = ball.expmap0(self.points)
+        pts = self.mp_points
         d = ball.dist2plane(z.unsqueeze(1), pts, pts, signed=True) + self.plane_bias
         x_hat = self.dec(d)
         return mu, scale, z, x_hat
@@ -137,11 +159,67 @@ class TorchGyroplaneVAE(nn.Module):
         return (recon + (log_q - log_p)).mean()
 
 
+class TorchRiemannianAdam(torch.optim.Optimizer):
+    """Minimal Riemannian Adam with the semantics of geoopt.optim.
+    RiemannianAdam (the reference's optimizer,
+    /root/reference/hyperbolic_vae/models/vae_hyperbolic.py:235-248),
+    written from scratch for the parity baseline: parameters named
+    ``mp_*`` are Poincare-ball points (rgrad -> component_inner second
+    moment -> expmap retraction -> momentum transport); everything else
+    gets plain Adam."""
+
+    def __init__(self, named_params, ball: TorchBall, lr=1e-3, betas=(0.9, 0.999), eps=1e-8):
+        named_params = list(named_params)
+        manifold = [p for n, p in named_params if n.split(".")[-1].startswith("mp_")]
+        euclid = [p for n, p in named_params if not n.split(".")[-1].startswith("mp_")]
+        groups = [
+            {"params": euclid, "manifold": False},
+            {"params": manifold, "manifold": True},
+        ]
+        super().__init__(groups, dict(lr=lr, betas=betas, eps=eps))
+        self.ball = ball
+
+    @torch.no_grad()
+    def step(self, closure=None):
+        for group in self.param_groups:
+            b1, b2 = group["betas"]
+            lr, eps = group["lr"], group["eps"]
+            for p in group["params"]:
+                if p.grad is None:
+                    continue
+                g = p.grad
+                st = self.state[p]
+                if not st:
+                    st["step"] = 0
+                    st["exp_avg"] = torch.zeros_like(p)
+                    st["exp_avg_sq"] = torch.zeros_like(p)
+                st["step"] += 1
+                t = st["step"]
+                m, v = st["exp_avg"], st["exp_avg_sq"]
+                if group["manifold"]:
+                    lam2 = self.ball.lambda_x(p).pow(2)
+                    g = g / lam2  # egrad -> rgrad
+                    m.mul_(b1).add_(g, alpha=1 - b1)
+                    v.mul_(b2).add_(lam2 * g * g, alpha=1 - b2)  # component_inner
+                    m_hat = m / (1 - b1**t)
+                    v_hat = v / (1 - b2**t)
+                    direction = m_hat / (v_hat.sqrt() + eps)
+                    new_p = self.ball.project(self.ball.expmap(p, -lr * direction))
+                    st["exp_avg"] = self.ball.transp(p, new_p, m)
+                    p.copy_(new_p)
+                else:
+                    m.mul_(b1).add_(g, alpha=1 - b1)
+                    v.mul_(b2).addcmul_(g, g, value=1 - b2)
+                    m_hat = m / (1 - b1**t)
+                    v_hat = v / (1 - b2**t)
+                    p.add_(-lr * m_hat / (v_hat.sqrt() + eps))
+
+
 def measure_samples_per_sec(batch_size=256, steps=30, warmup=5, data_numel=784) -> float:
     torch.manual_seed(0)
     torch.set_num_threads(torch.get_num_threads())
     model = TorchGyroplaneVAE(data_numel=data_numel)
-    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    opt = TorchRiemannianAdam(model.named_parameters(), model.ball, lr=1e-3)
     x = torch.rand(batch_size, data_numel)
     for _ in range(warmup):
         opt.zero_grad()

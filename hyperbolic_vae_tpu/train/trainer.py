@@ -118,17 +118,22 @@ class Trainer:
             riemannian_adam, static_args=("ball", "b1", "b2", "eps", "weight_decay")
         )(learning_rate=self.lr, ball=ball)
 
-        self.plateau = ReduceLROnPlateau(
+        self._plateau_cfg = dict(
             lr=self.lr,
             factor=plateau_factor,
             patience=plateau_patience,
             min_lr=plateau_min_lr,
         )
+        self._early_patience = early_stopping_patience
+        self.plateau = ReduceLROnPlateau(**self._plateau_cfg)
         self.early_stopping = (
             EarlyStopping(patience=early_stopping_patience)
             if early_stopping_patience
             else None
         )
+        # (n_train, batch_size, n_val) -> jitted epoch programs, so repeated
+        # fit()/evaluate() calls (multi-seed studies) reuse XLA's compile cache
+        self._epoch_fns_cache = {}
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.metric_logger = MetricLogger(log_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -279,7 +284,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _epoch_fns(self, n_train: int, batch_size: int, n_val: int):
+        key = (n_train, batch_size, n_val)
+        if key not in self._epoch_fns_cache:
+            self._epoch_fns_cache[key] = self._build_epoch_fns(n_train, batch_size, n_val)
+        return self._epoch_fns_cache[key]
+
     def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
+        # fresh controller state per fit, so one Trainer can run several
+        # fits (e.g. multi-seed parity) without leaking plateau/stop state
+        self.plateau = ReduceLROnPlateau(**self._plateau_cfg)
+        if self._early_patience:
+            self.early_stopping = EarlyStopping(patience=self._early_patience)
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
         if params is None:
@@ -309,7 +325,7 @@ class Trainer:
         x_train = self._stage(dm.x_train)
         x_val = self._stage(dm.x_val)
         n_train = int(dm.x_train.shape[0])
-        train_epoch, eval_epoch = self._build_epoch_fns(
+        train_epoch, eval_epoch = self._epoch_fns(
             n_train, dm.batch_size, int(dm.x_val.shape[0])
         )
 
@@ -420,7 +436,7 @@ class Trainer:
     def evaluate(self, dm: ArrayDataModule, params, split: str = "test") -> dict:
         x = self._stage(getattr(dm, f"x_{split}"))
         n = int(getattr(dm, f"x_{split}").shape[0])
-        _, eval_epoch = self._build_epoch_fns(
+        _, eval_epoch = self._epoch_fns(
             max(n, dm.batch_size), dm.batch_size, n
         )
         ms = eval_epoch(params, x, jax.random.PRNGKey(self.seed + 1))

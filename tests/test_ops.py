@@ -100,3 +100,16 @@ def test_fast_dispatch_no_bias_grads():
     g = jax.grad(lambda p: jnp.sum(gyroplane_distances_fast(x, p, 1.4, True, None)))(pts)
     g2 = jax.grad(lambda p: jnp.sum(gyroplane_distances(x, p, 1.4)))(pts)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4, atol=1e-6)
+
+
+def test_interpret_mode_tracks_current_backend(monkeypatch):
+    """Pallas interpret-vs-TPU dispatch must follow the CURRENT backend,
+    not a first-call cache (round-1 VERDICT weak #6: a process flipping
+    jax_platforms after touching the op got the wrong dispatch)."""
+    from hyperbolic_vae_tpu.ops import gyroplane as g
+
+    g._interpret_mode()  # a first call must not pin the answer
+    monkeypatch.setattr(g.jax, "default_backend", lambda: "tpu")
+    assert g._interpret_mode() is False
+    monkeypatch.setattr(g.jax, "default_backend", lambda: "cpu")
+    assert g._interpret_mode() is True

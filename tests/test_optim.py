@@ -97,3 +97,34 @@ def test_manifold_label_tree():
     assert labels["a"]["mp_points"] is True
     assert labels["a"]["kernel"] is False
     assert labels["b"]["bias"] is False
+
+
+def test_torch_baseline_riemannian_adam_matches_jax():
+    """The parity baseline's from-scratch torch Riemannian Adam must take
+    the SAME manifold steps as optim.riemannian_adam (else parity diffs
+    measure optimizer mismatch, not framework correctness)."""
+    import optax
+    import torch
+    from benchmarks.torch_baseline import TorchBall, TorchRiemannianAdam
+
+    ball = PoincareBall(c=1.0)
+    rng = np.random.default_rng(0)
+    raw = rng.normal(0, 0.3, (5, 2)).astype(np.float32)
+    p0 = np.asarray(ball.expmap0(jnp.array(raw)))
+    g0 = rng.normal(0, 1, (5, 2)).astype(np.float32)
+
+    params = {"mp_points": jnp.array(p0)}
+    opt = riemannian_adam(1e-2, ball=ball)
+    st = opt.init(params)
+    for _ in range(5):
+        up, st = opt.update({"mp_points": jnp.array(g0)}, st, params)
+        params = optax.apply_updates(params, up)
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = TorchRiemannianAdam([("mp_points", tp)], TorchBall(1.0), lr=1e-2)
+    for _ in range(5):
+        tp.grad = torch.tensor(g0)
+        topt.step()
+    np.testing.assert_allclose(
+        tp.detach().numpy(), np.asarray(params["mp_points"]), atol=1e-6
+    )
