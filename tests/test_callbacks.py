@@ -13,6 +13,10 @@ from hyperbolic_vae_tpu.train import (
     Trainer,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
+
 
 def test_callbacks_write_pngs(tmp_path):
     dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)

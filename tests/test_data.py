@@ -60,7 +60,8 @@ def test_rnaseq_normalization_methods():
     np.testing.assert_allclose(sm.sum(1), 1e6, rtol=1e-4)
     z = jerby_arnon.normalize_rnaseq(x, "z_score")
     np.testing.assert_allclose(z.mean(0), 0.0, atol=1e-5)
-    np.testing.assert_allclose(z.std(0, ddof=1), 1.0, rtol=1e-4)
+    # ddof=0: scipy.stats.zscore default, matched per round-1 ADVICE
+    np.testing.assert_allclose(z.std(0, ddof=0), 1.0, rtol=1e-4)
     assert jerby_arnon.normalize_rnaseq(x, None) is x
 
 

@@ -145,6 +145,7 @@ def test_riemannian_normal_integrates_to_one():
     assert abs(total - 1.0) < 2e-2, total
 
 
+@pytest.mark.slow
 def test_riemannian_normal_sampler_matches_density():
     """Mean geodesic distance from loc of samples == quadrature expectation."""
     ball = PoincareBall(c=1.0)
@@ -160,6 +161,7 @@ def test_riemannian_normal_sampler_matches_density():
     assert abs(mean_dist_mc - mean_dist_quad) < 0.03, (mean_dist_mc, mean_dist_quad)
 
 
+@pytest.mark.slow
 def test_riemannian_normal_scale_clamped():
     ball = PoincareBall(c=1.0)
     loc = jnp.zeros((1, 2))
@@ -171,6 +173,7 @@ def test_riemannian_normal_scale_clamped():
     assert bool(jnp.all(jnp.isfinite(rn_big.log_prob(z2))))
 
 
+@pytest.mark.slow
 def test_riemannian_normal_grad_wrt_scale_finite():
     ball = PoincareBall(c=1.0)
 

@@ -8,6 +8,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
+
 REPO = Path(__file__).resolve().parent.parent
 EXP = REPO / "experiments"
 

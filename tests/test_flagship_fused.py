@@ -15,6 +15,10 @@ from hyperbolic_vae_tpu.ops.flagship_fused import (
     supports_fused,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
+
 
 def _setup(latent=2, c=1.0, beta=1.0, prior=1.0, B=32, data=(28, 28, 1)):
     model = GyroplaneVAE(

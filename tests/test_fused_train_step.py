@@ -8,6 +8,9 @@ import optax
 from hyperbolic_vae_tpu.models import GyroplaneVAE
 from hyperbolic_vae_tpu.ops.flagship_fused import make_fused_train_step
 from hyperbolic_vae_tpu.train import Trainer
+import pytest
+
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
 
 
 def _setup(B=32):

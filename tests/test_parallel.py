@@ -12,7 +12,10 @@ from hyperbolic_vae_tpu.parallel import make_mesh
 from hyperbolic_vae_tpu.parallel.sharding_rules import tp_param_shardings
 from hyperbolic_vae_tpu.train import Trainer
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+pytestmark = [
+    pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices"),
+    pytest.mark.slow,  # deselect with -m 'not slow' (fast tier)
+]
 
 
 def test_dp_training_matches_single_device():

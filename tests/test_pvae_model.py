@@ -7,6 +7,8 @@ import pytest
 
 from hyperbolic_vae_tpu.models import PvaeMLPVAE
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
+
 
 @pytest.mark.parametrize("posterior", ["wrapped", "riemannian"])
 def test_pvae_model_one_step(posterior):

@@ -12,6 +12,8 @@ from hyperbolic_vae_tpu.data.mnist import make_data_module
 from hyperbolic_vae_tpu.models import GyroplaneVAE
 from hyperbolic_vae_tpu.train import Trainer
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow' (fast tier)
+
 
 @pytest.fixture(scope="module")
 def tiny_dm():
