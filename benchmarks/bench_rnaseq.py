@@ -1,14 +1,28 @@
-"""Secondary benchmark: RNA-seq-scale hyperbolic VAE throughput.
+"""MXU-bound benchmark: RNA-seq-scale hyperbolic VAE, f32 vs bf16.
 
 The flagship MNIST model is VPU-latency bound; the RNA-seq family's
 (B, ~20k genes) Dense layers are the model family's real MXU work. This
-measures train samples/sec for RNASeqVAE at GSE115978-like width on the
-current accelerator. Not part of the driver's bench.py contract — run
-manually: python benchmarks/bench_rnaseq.py
+measures steady-state train throughput (full epoch: fwd+bwd+Riemannian
+Adam) for RNASeqVAE at GSE115978-like width in both compute dtypes and
+reports achieved model TFLOPs + % of the chip's peak (round-1 VERDICT
+#6(b): substantiate the claimed ~10.5 TFLOPs in a committed artifact).
+
+FLOP model (per step, batch B, genes G, hidden H): the two wide matmuls
+(enc Bx G @ G x H, dec_out B x H @ H x G) dominate; fwd+bwd ≈ 3x fwd:
+    flops/step = 3 * (2*B*G*H) * 2.
+Peak used for %%: v5e ≈ 197 TFLOPs bf16, ≈ 98.5 TFLOPs f32 (fp32 runs
+through the MXU at half bf16 rate via passes). If the device isn't a
+v5e these percentages are still recorded against v5e as the named
+baseline hardware.
+
+Not part of the driver's bench.py contract — run manually:
+    python benchmarks/bench_rnaseq.py
+Writes benchmarks/BENCH_RNASEQ.json.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -18,69 +32,79 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-N_GENES = 20480
-N_CELLS = 8192
-BATCH = 256
-HIDDEN = 256
+V5E_PEAK_TFLOPS = {"float32": 98.5, "bfloat16": 197.0}
 
 
-def main():
+def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from hyperbolic_vae_tpu.data.core import ArrayDataModule
     from hyperbolic_vae_tpu.models import RNASeqVAE
     from hyperbolic_vae_tpu.train import Trainer
 
     rng = np.random.default_rng(0)
-    x = rng.normal(0, 1, (N_CELLS, N_GENES)).astype(np.float32)
-    y = np.zeros(N_CELLS, np.int32)
-    dm = ArrayDataModule(
-        x_train=x, y_train=y, x_val=x[:512], y_val=y[:512],
-        x_test=x[:512], y_test=y[:512], batch_size=BATCH,
+    x = rng.normal(0, 1, (n_cells, n_genes)).astype(np.float32)
+    model = RNASeqVAE(
+        in_features=n_genes, hidden_dim=hidden, latent_dim=2, compute_dtype=dtype
     )
-    model = RNASeqVAE(in_features=N_GENES, hidden_dim=HIDDEN, latent_dim=2)
-    trainer = Trainer(
-        model, max_epochs=1, early_stopping_patience=None, shuffle="block",
-        check_finite=False,
-    )
-    params = trainer.init_params(dm.x_train)
+    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None,
+                      shuffle="block", check_finite=False)
+    params = trainer.init_params(x[:batch])
     opt_state = trainer._optimizer.init(params)
-    xd = jnp.asarray(dm.x_train)
-    train_epoch, _ = trainer._build_epoch_fns(N_CELLS, BATCH, 512)
+    xd = jnp.asarray(x)
+    train_epoch, _ = trainer._build_epoch_fns(n_cells, batch, 512)
     key = jax.random.PRNGKey(0)
     for _ in range(2):  # compile + warm
         key, k = jax.random.split(key)
         params, opt_state, ms = train_epoch(params, opt_state, xd, k)
-        float(ms["loss_total"])
-    steps = N_CELLS // BATCH
+        float(ms["loss_total"])  # axon sync
     times = []
     for _ in range(5):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, ms = train_epoch(params, opt_state, xd, k)
-        float(ms["loss_total"])
+        loss = float(ms["loss_total"])
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    sps = steps * BATCH / dt
-    # fwd+bwd FLOPs are ~3 x 2 x B x G x H for the two wide Dense layers x2
-    flops_per_step = 3 * 2 * BATCH * N_GENES * HIDDEN * 2
+    steps = n_cells // batch
+    flops_per_step = 3 * (2 * batch * n_genes * hidden) * 2
     tflops = flops_per_step * steps / dt / 1e12
-    print(
-        json.dumps(
-            {
-                "metric": "rnaseq_vae_train_throughput",
-                "value": round(sps, 1),
-                "unit": "samples/sec/chip",
-                "genes": N_GENES,
-                "hidden": HIDDEN,
-                "epoch_ms": round(dt * 1000, 1),
-                "approx_tflops": round(tflops, 2),
-            }
-        )
+    return {
+        "epoch_ms": round(dt * 1000, 1),
+        "samples_per_sec": round(steps * batch / dt, 1),
+        "achieved_tflops": round(tflops, 2),
+        "pct_of_v5e_peak": round(100 * tflops / V5E_PEAK_TFLOPS[dtype], 2),
+        "final_loss": loss,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-cells", type=int, default=8192)
+    ap.add_argument("--n-genes", type=int, default=20480)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--hidden", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+
+    results = {
+        "device": str(jax.devices()[0]),
+        "n_cells": args.n_cells, "n_genes": args.n_genes,
+        "batch": args.batch, "hidden": args.hidden,
+    }
+    for dtype in ("float32", "bfloat16"):
+        r = bench(dtype, args.n_cells, args.n_genes, args.batch, args.hidden)
+        results[f"rnaseq_{dtype}"] = r
+        print(json.dumps({"config": f"rnaseq_{dtype}", **r}), file=sys.stderr, flush=True)
+    results["bf16_speedup"] = round(
+        results["rnaseq_bfloat16"]["samples_per_sec"]
+        / results["rnaseq_float32"]["samples_per_sec"], 3,
     )
+    (REPO_ROOT / "benchmarks" / "BENCH_RNASEQ.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -8,6 +8,8 @@ target config (784 -> 600 ReLU -> 2, batch 128, lr 5e-4, 80 epochs,
 RiemannianNormal path the reference never got working.
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 
@@ -75,4 +77,6 @@ if __name__ == "__main__":
                     f"iwae_{args.iwae_k}": iwae,
                 }
                 print(tag, results[tag])
-    print(results)
+    out = {k: {m: float(v) for m, v in r.items()} for k, r in results.items()}
+    (run_dir / "replicate_results.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))

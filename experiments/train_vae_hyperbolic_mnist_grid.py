@@ -6,6 +6,7 @@ Reference: /root/reference/scripts/_7_train_vae_hyperbolic_mnist_grid.py
 """
 
 import itertools
+import json
 import traceback
 
 from common import base_parser, setup
@@ -64,4 +65,6 @@ if __name__ == "__main__":
         except Exception:  # per-run isolation (ref :75-89)
             traceback.print_exc()
             results[tag] = None
-    print(results)
+    out = {k: ({m: float(v) for m, v in r.items()} if r else None) for k, r in results.items()}
+    (run_dir / "grid_results.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))

@@ -45,6 +45,8 @@ class HyperbolicImageVAE(fnn.Module):
     beta: float = 1.0
     lr: float = 1e-3
     loss_recon: str = "mse"  # "mse" | "bernoulli"
+    compute_dtype: str = "float32"  # "bfloat16": conv stacks on the MXU in bf16
+    # (manifold math, sampling and the loss stay f32 — repo convention)
 
     @property
     def ball(self) -> PoincareBall:
@@ -57,9 +59,10 @@ class HyperbolicImageVAE(fnn.Module):
 
     def setup(self):
         ball = self.ball
-        self.conv1 = fnn.Conv(16, (3, 3), strides=2, padding=1)
-        self.conv2 = fnn.Conv(32, (3, 3), strides=2, padding=1)
-        self.conv3 = fnn.Conv(32, (3, 3), strides=2, padding=1)
+        dt = jnp.dtype(self.compute_dtype)
+        self.conv1 = fnn.Conv(16, (3, 3), strides=2, padding=1, dtype=dt)
+        self.conv2 = fnn.Conv(32, (3, 3), strides=2, padding=1, dtype=dt)
+        self.conv3 = fnn.Conv(32, (3, 3), strides=2, padding=1, dtype=dt)
         if self.encoder_last_layer_module == "linear":
             self.mu_head = fnn.Dense(self.latent_dim, name="mu")
         elif self.encoder_last_layer_module == "mobius":
@@ -84,20 +87,20 @@ class HyperbolicImageVAE(fnn.Module):
             )
         else:
             raise ValueError(d)
-        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding="SAME")
-        self.conv4 = fnn.Conv(32, (3, 3), padding=1)
-        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding="SAME")
-        self.conv5 = fnn.Conv(16, (3, 3), padding=1)
+        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)
+        self.conv4 = fnn.Conv(32, (3, 3), padding=1, dtype=dt)
+        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)
+        self.conv5 = fnn.Conv(16, (3, 3), padding=1, dtype=dt)
         self.deconv3 = fnn.ConvTranspose(
-            self.data_shape[2], (3, 3), strides=(2, 2), padding="SAME"
+            self.data_shape[2], (3, 3), strides=(2, 2), padding="SAME", dtype=dt
         )
 
     def encode(self, x):
         """Returns (mu_on_manifold, scale)."""
-        h = fnn.gelu(self.conv1(x))
+        h = fnn.gelu(self.conv1(x.astype(jnp.dtype(self.compute_dtype))))
         h = fnn.gelu(self.conv2(h))
         h = fnn.gelu(self.conv3(h))
-        h = h.reshape(h.shape[0], -1)
+        h = h.reshape(h.shape[0], -1).astype(jnp.float32)
         mu = self.mu_head(h)
         if self.encoder_last_layer_module == "linear":
             mu = self.ball.expmap0(mu)
@@ -109,13 +112,13 @@ class HyperbolicImageVAE(fnn.Module):
 
     def decode(self, z):
         h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8
-        h = fnn.gelu(self.dec_first(z))
-        h = h.reshape(z.shape[0], h8, w8, 32)
+        h = fnn.gelu(self.dec_first(z))  # manifold-facing layer stays f32
+        h = h.reshape(z.shape[0], h8, w8, 32).astype(jnp.dtype(self.compute_dtype))
         h = fnn.gelu(self.deconv1(h))
         h = fnn.gelu(self.conv4(h))
         h = fnn.gelu(self.deconv2(h))
         h = fnn.gelu(self.conv5(h))
-        h = self.deconv3(h)
+        h = self.deconv3(h).astype(jnp.float32)
         if self.loss_recon == "mse":
             h = fnn.sigmoid(h)  # ref :106-107
         return h

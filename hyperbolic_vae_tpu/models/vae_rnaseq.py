@@ -4,8 +4,15 @@ Re-design of VAEHyperbolicRNASeq
 (/root/reference/hyperbolic_vae/models/vae_hyperbolic_rnaseq.py:21-157):
 Linear encoder -> hidden, mu = Dense + expmap0, scale = Dense + softplus,
 gyroplane decoder first op, sigmoid output; recon = per-sample sum-MSE
-(the NegativeBinomial attempt is commented out in the reference,
-:85-88); MC KL against WrappedNormal(origin, 1).
+by default; MC KL against WrappedNormal(origin, 1).
+
+``recon="nb"`` FINISHES the reference's commented-out NegativeBinomial
+attempt (:85-88, ``NegativeBinomial(1_000_000, probs=x_hat)``): the
+decoder's sigmoid output becomes per-gene trial probs and a learnable
+per-gene log inverse-dispersion replaces the hard-coded 1e6 total_count
+(fixed huge total_count explodes lgamma(k + r) and gives a near-Poisson
+with mean ~1e6*probs — the reason the attempt never worked). Expects
+count-valued inputs (the loader's ``normalize="counts"``/raw path).
 
 The ~20k-gene Dense layers are the one place in this model family with
 real MXU work; the encoder matmul is (B, G) x (G, H) — sharding over a
@@ -23,6 +30,9 @@ from hyperbolic_vae_tpu.distributions import (
     wrapped_normal_log_prob,
     wrapped_normal_rsample,
 )
+from hyperbolic_vae_tpu.distributions.negative_binomial import (
+    negative_binomial_log_prob,
+)
 from hyperbolic_vae_tpu.manifolds import PoincareBall
 from hyperbolic_vae_tpu.nn import PoincareHyperplanes
 
@@ -34,13 +44,16 @@ class RNASeqVAE(fnn.Module):
     manifold_curvature: float = 1.0
     beta: float = 1.0
     lr: float = 1e-3
+    recon: str = "mse"  # "mse" (reference shipped) | "nb" (reference attempted)
+    compute_dtype: str = "float32"  # "bfloat16": the (B,G)x(G,H) wide matmuls in bf16
 
     @property
     def ball(self) -> PoincareBall:
         return PoincareBall(c=self.manifold_curvature)
 
     def setup(self):
-        self.enc = fnn.Dense(self.hidden_dim, name="enc")
+        dt = jnp.dtype(self.compute_dtype)
+        self.enc = fnn.Dense(self.hidden_dim, name="enc", dtype=dt)
         self.mu_head = fnn.Dense(self.latent_dim, name="mu")
         self.scale_head = fnn.Dense(self.latent_dim, name="scale")
         self.gyroplanes = PoincareHyperplanes(
@@ -49,17 +62,25 @@ class RNASeqVAE(fnn.Module):
             ball=self.ball,
             name="gyroplanes",
         )
-        self.dec_out = fnn.Dense(self.in_features, name="dec_out")
+        self.dec_out = fnn.Dense(self.in_features, name="dec_out", dtype=dt)
+        if self.recon == "nb":
+            # per-gene log inverse-dispersion theta (scvi-style); init 0 -> theta 1
+            self.nb_log_theta = self.param(
+                "nb_log_theta", fnn.initializers.zeros, (self.in_features,)
+            )
+        elif self.recon != "mse":
+            raise ValueError(f"recon must be 'mse' or 'nb', got {self.recon!r}")
 
     def encode(self, x):
-        h = fnn.gelu(self.enc(x))
+        h = fnn.gelu(self.enc(x.astype(jnp.dtype(self.compute_dtype)))).astype(jnp.float32)
         mu = self.ball.expmap0(self.mu_head(h))
         scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)  # floor+cap, see vae_gyroplane
         return mu, scale
 
     def decode(self, z):
-        h = fnn.gelu(self.gyroplanes(z))
-        return fnn.sigmoid(self.dec_out(h))
+        h = fnn.gelu(self.gyroplanes(z))  # manifold-facing layer stays f32
+        h = self.dec_out(h.astype(jnp.dtype(self.compute_dtype))).astype(jnp.float32)
+        return fnn.sigmoid(h)
 
     def __call__(self, x):
         mu, scale = self.encode(x)
@@ -70,7 +91,17 @@ class RNASeqVAE(fnn.Module):
     def loss(self, x):
         out = self(x)
         mu, scale, z, x_hat = out["mu"], out["scale"], out["z"], out["x_hat"]
-        recon = jnp.sum((x_hat - x) ** 2, axis=-1)  # per-sample sum-MSE
+        if self.recon == "nb":
+            # sigmoid output = per-gene trial probs; logits = dec_out pre-sigmoid
+            # recovered via logit(x_hat) for a single fused graph.
+            probs = jnp.clip(x_hat, 1e-6, 1.0 - 1e-6)
+            logits = jnp.log(probs) - jnp.log1p(-probs)
+            theta = jnp.exp(self.nb_log_theta)
+            recon = -jnp.sum(
+                negative_binomial_log_prob(x, theta, logits=logits), axis=-1
+            )
+        else:
+            recon = jnp.sum((x_hat - x) ** 2, axis=-1)  # per-sample sum-MSE
         log_q = wrapped_normal_log_prob(self.ball, mu, scale, z)
         origin = jnp.zeros((self.latent_dim,), jnp.float32)
         log_p = wrapped_normal_log_prob(self.ball, origin, jnp.ones((self.latent_dim,)), z)

@@ -33,6 +33,7 @@ def _one_step(model, x):
     return params, metrics
 
 
+@pytest.mark.slow
 def test_autoencoder():
     x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
     params, m = _one_step(Autoencoder(data_shape=(32, 32, 3), latent_dim=64), x)
@@ -119,6 +120,7 @@ def test_unified_vae_recon_matrix(recon, last_act):
     _one_step(model, x)
 
 
+@pytest.mark.slow
 def test_unified_vae_fixed_scale():
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 16)), jnp.float32)
     model = UnifiedVAE(
@@ -151,4 +153,33 @@ def test_euclidean_vae_bf16_compute():
     lbf = mbf.apply({"params": pbf}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
     assert np.isfinite(float(lbf["loss_total"]))
     rel = abs(float(lbf["loss_total"]) - float(l32["loss_total"])) / abs(float(l32["loss_total"]))
+    assert rel < 0.1, rel
+
+
+def test_hyperbolic_image_vae_bf16_compute():
+    """bf16 conv stacks with f32 manifold math: finite grads, loss ≈ f32."""
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 1)), jnp.float32)
+    kw = dict(data_shape=(32, 32, 1), decoder_first_layer_module="geoopt_gyroplane")
+    m32 = HyperbolicImageVAE(**kw)
+    mbf = HyperbolicImageVAE(**kw, compute_dtype="bfloat16")
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    p32 = m32.init(rngs, x)["params"]
+    pbf, mtr = _one_step(mbf, x)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(pbf))
+    l32 = m32.apply({"params": p32}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
+    rel = abs(float(mtr["loss_total"]) - float(l32["loss_total"])) / abs(float(l32["loss_total"]))
+    assert rel < 0.1, rel
+
+
+def test_rnaseq_vae_bf16_compute():
+    """bf16 wide matmuls with f32 gyroplane/sampling: finite grads, loss ≈ f32."""
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (8, 256)), jnp.float32)
+    m32 = RNASeqVAE(in_features=256, hidden_dim=32, latent_dim=2)
+    mbf = RNASeqVAE(in_features=256, hidden_dim=32, latent_dim=2, compute_dtype="bfloat16")
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    p32 = m32.init(rngs, x)["params"]
+    pbf, mtr = _one_step(mbf, x)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(pbf))
+    l32 = m32.apply({"params": p32}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
+    rel = abs(float(mtr["loss_total"]) - float(l32["loss_total"])) / abs(float(l32["loss_total"]))
     assert rel < 0.1, rel
