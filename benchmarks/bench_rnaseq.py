@@ -80,29 +80,67 @@ def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
     }
 
 
+def calibrate_device_peak(m=8192, iters=5):
+    """Measured (not nominal) matmul rate of THIS device per dtype, via a
+    large square matmul. On the axon 'TPU v5 lite' backend f32 and bf16
+    run at the SAME ~97 TFLOPs (measured), so bf16 compute cannot speed
+    up matmul-bound work here — record both so pct-of-peak is honest."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = {}
+    for dtype in ("float32", "bfloat16"):
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(m, m)), dtype=dtype)
+        b = jnp.asarray(np.random.default_rng(1).normal(size=(m, m)), dtype=dtype)
+        f = jax.jit(lambda a, b: a @ b)
+        float(f(a, b)[0, 0])  # compile + axon sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(a, b)
+        float(r[0, 0])
+        dt = (time.perf_counter() - t0) / iters
+        out[dtype] = round(2 * m**3 / dt / 1e12, 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-cells", type=int, default=8192)
     ap.add_argument("--n-genes", type=int, default=20480)
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument(
+        "--configs", type=str, nargs="+", default=["256x256", "2048x512"],
+        help="batchxhidden pairs; 256x256 is the GSE115978-realistic config,"
+        " 2048x512 the throughput-oriented scale-up",
+    )
     args = ap.parse_args()
 
     import jax
 
+    measured_peak = calibrate_device_peak()
+    print(json.dumps({"measured_device_matmul_tflops": measured_peak}),
+          file=sys.stderr, flush=True)
     results = {
         "device": str(jax.devices()[0]),
         "n_cells": args.n_cells, "n_genes": args.n_genes,
-        "batch": args.batch, "hidden": args.hidden,
+        "nominal_v5e_peak_tflops": V5E_PEAK_TFLOPS,
+        "measured_device_matmul_tflops": measured_peak,
     }
-    for dtype in ("float32", "bfloat16"):
-        r = bench(dtype, args.n_cells, args.n_genes, args.batch, args.hidden)
-        results[f"rnaseq_{dtype}"] = r
-        print(json.dumps({"config": f"rnaseq_{dtype}", **r}), file=sys.stderr, flush=True)
-    results["bf16_speedup"] = round(
-        results["rnaseq_bfloat16"]["samples_per_sec"]
-        / results["rnaseq_float32"]["samples_per_sec"], 3,
-    )
+    for cfg in args.configs:
+        batch, hidden = (int(v) for v in cfg.split("x"))
+        n_cells = max(args.n_cells, 8 * batch)
+        for dtype in ("float32", "bfloat16"):
+            r = bench(dtype, n_cells, args.n_genes, batch, hidden)
+            r["pct_of_measured_device_peak"] = round(
+                100 * r["achieved_tflops"] / measured_peak[dtype], 2
+            )
+            key = f"rnaseq_b{batch}_h{hidden}_{dtype}"
+            results[key] = r
+            print(json.dumps({"config": key, **r}), file=sys.stderr, flush=True)
+        results[f"b{batch}_h{hidden}_bf16_speedup"] = round(
+            results[f"rnaseq_b{batch}_h{hidden}_bfloat16"]["samples_per_sec"]
+            / results[f"rnaseq_b{batch}_h{hidden}_float32"]["samples_per_sec"], 3,
+        )
     (REPO_ROOT / "benchmarks" / "BENCH_RNASEQ.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
