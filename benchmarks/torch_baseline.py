@@ -45,11 +45,16 @@ class TorchBall:
             * u
             / (self.sqrt_c * u_norm)
         )
-        return self.mobius_add(x, second)
+        # project like the JAX PoincareBall.expmap (and geoopt's layers /
+        # optimizer, which projx throughout the reference's training path):
+        # without it mu reaches |mu| -> 1 where the f32 logmap/expmap
+        # roundtrip noise is amplified by lambda ~ 1/(1-|mu|^2) and log_q
+        # explodes to -1e7 (observed divergence mode of this baseline)
+        return self.project(self.mobius_add(x, second))
 
     def expmap0(self, u):
         u_norm = u.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
-        return torch.tanh(self.sqrt_c * u_norm) * u / (self.sqrt_c * u_norm)
+        return self.project(torch.tanh(self.sqrt_c * u_norm) * u / (self.sqrt_c * u_norm))
 
     def logmap(self, x, y):
         sub = self.mobius_add(-x, y)
@@ -83,6 +88,14 @@ class TorchBall:
         max_norm = (1.0 - 4e-3) / self.sqrt_c
         norm = x.norm(dim=-1, keepdim=True).clamp_min(MIN_NORM)
         return torch.where(norm > max_norm, x / norm * max_norm, x)
+
+    def dist0(self, x):
+        norm = x.norm(dim=-1, keepdim=True)
+        return 2.0 / self.sqrt_c * torch.atanh((self.sqrt_c * norm).clamp(max=1 - 1e-6))
+
+    def max_chart_radius(self):
+        # same value as the JAX arm's wrapped_normal.max_chart_radius
+        return 2.0 / self.sqrt_c * math.atanh(1.0 - 4e-3)
 
     def gyration(self, u, v, w):
         # gyr[u, v]w = (-(u (+) v)) (+) (u (+) (v (+) w))
@@ -133,7 +146,16 @@ class TorchGyroplaneVAE(nn.Module):
         # same posterior-scale floor/cap as the JAX arm (vae_gyroplane.py)
         scale = (F.softplus(self.scale(h)) + 1e-3).clamp(1e-3, 10.0)
         eps = torch.randn_like(scale)
-        v = scale * eps / 2.0
+        v = scale * eps
+        # chart-radius truncation, same semantics as the JAX arm
+        # (wrapped_normal_rsample_from_eps): samples never leave the
+        # f32-faithful region, so log q(z) of own samples stays exact and
+        # the MC-KL chart exploit (the reference's divergence mode) is
+        # closed in BOTH arms
+        r_allowed = (ball.max_chart_radius() - ball.dist0(mu)).clamp_min(1e-2).clamp(max=10.0)
+        v_norm = v.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+        v = v * torch.minimum(torch.ones_like(v_norm), r_allowed / v_norm)
+        v = v / 2.0
         z = ball.expmap(mu, ball.transp0(mu, v))
         pts = self.mp_points
         d = ball.dist2plane(z.unsqueeze(1), pts, pts, signed=True) + self.plane_bias
