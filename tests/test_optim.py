@@ -128,3 +128,34 @@ def test_torch_baseline_riemannian_adam_matches_jax():
     np.testing.assert_allclose(
         tp.detach().numpy(), np.asarray(params["mp_points"]), atol=1e-6
     )
+
+
+def test_torch_baseline_stays_on_faithful_chart():
+    """Regression: the torch parity arm diverged on every seed because its
+    expmap/expmap0 never projected onto the 4e-3 boundary margin — mu
+    reached |mu| -> 1 where f32 logmap noise is amplified by
+    lambda ~ 1/(1-|mu|^2) and log q exploded to -1e7. Train a few epochs
+    and assert every posterior mean / sample / manifold param stays inside
+    the projection margin and the loss stays sane."""
+    import torch
+    from benchmarks.torch_baseline import TorchGyroplaneVAE, TorchRiemannianAdam
+
+    torch.manual_seed(0)
+    model = TorchGyroplaneVAE(data_numel=64)
+    opt = TorchRiemannianAdam(model.named_parameters(), model.ball, lr=1e-2)
+    x = torch.rand(128, 64)
+    for _ in range(30):  # enough steps to push mu outward pre-fix
+        opt.zero_grad()
+        loss = model.loss(x)
+        loss.backward()
+        opt.step()
+    with torch.no_grad():
+        mu, scale, z, x_hat = model(x)
+        final = model.loss(x)
+    max_norm = (1.0 - 4e-3) / model.ball.sqrt_c + 1e-6
+    assert float(mu.norm(dim=-1).max()) <= max_norm
+    assert float(z.norm(dim=-1).max()) <= max_norm
+    assert float(model.mp_points.norm(dim=-1).max()) <= max_norm
+    assert torch.isfinite(final)
+    # the pre-fix failure mode was loss < -1e5 within a few epochs
+    assert float(final) > -1e4
