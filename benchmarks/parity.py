@@ -38,16 +38,21 @@ import numpy as np
 
 def train_torch(x_train, x_val, epochs, batch_size, lr, seed=0, patience=10):
     """Reference protocol: early stopping on val loss, patience 10
-    (trainer_mnist.py:34), geoopt-semantics Riemannian Adam
-    (vae_hyperbolic.py:235-248). Returns the val-loss history."""
+    (trainer_mnist.py:34), ReduceLROnPlateau(0.2, 20, min 5e-5) on val
+    loss (vae_hyperbolic.py:236-243 — the SAME controller object the JAX
+    Trainer uses, so both arms follow the identical schedule), and
+    geoopt-semantics Riemannian Adam (vae_hyperbolic.py:235-248).
+    Returns the val-loss history."""
     import torch
 
     from benchmarks.torch_baseline import TorchGyroplaneVAE, TorchRiemannianAdam
+    from hyperbolic_vae_tpu.optim import ReduceLROnPlateau
 
     torch.manual_seed(seed)
     numel = int(np.prod(x_train.shape[1:]))
     model = TorchGyroplaneVAE(data_numel=numel)
     opt = TorchRiemannianAdam(model.named_parameters(), model.ball, lr=lr)
+    plateau = ReduceLROnPlateau(lr=lr)
     xt = torch.from_numpy(x_train.reshape(len(x_train), -1))
     xv = torch.from_numpy(x_val.reshape(len(x_val), -1))
     n = (len(xt) // batch_size) * batch_size
@@ -64,6 +69,9 @@ def train_torch(x_train, x_val, epochs, batch_size, lr, seed=0, patience=10):
         with torch.no_grad():
             val = float(model.loss(xv))
         history.append(val)
+        new_lr = plateau.step(val)
+        for group in opt.param_groups:
+            group["lr"] = new_lr
         if val < best:
             best, wait = val, 0
         else:
