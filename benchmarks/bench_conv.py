@@ -50,10 +50,37 @@ def bench_model(model, x, batch, n_val=512, warmup=2, iters=5):
     times.sort()
     dt = times[len(times) // 2]
     steps = len(x) // batch
+
+    # K-epochs-per-dispatch steady state (Trainer(epochs_per_dispatch=K)):
+    # amortizes the ~25-30 ms axon dispatch round trip that dominates a
+    # 45-50 ms epoch at this size (adds a batch-sized val eval per epoch).
+    K = 5
+    chunk_fn = trainer._chunk_fn(len(x), batch, batch, K)
+    x_val = xd[:batch]
+    best_params = jax.tree.map(jnp.copy, params)
+    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    key, k = jax.random.split(key)
+    params, opt_state, best_params, best_val, k, tms, vms = chunk_fn(
+        params, opt_state, best_params, best_val, xd, x_val, k
+    )
+    float(tms["loss_total"][-1])  # compile + axon sync
+    ctimes = []
+    for _ in range(3):
+        key, k2 = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, best_params, best_val, k2, tms, vms = chunk_fn(
+            params, opt_state, best_params, best_val, xd, x_val, k2
+        )
+        float(tms["loss_total"][-1])
+        ctimes.append(time.perf_counter() - t0)
+    ctimes.sort()
+    cdt = ctimes[len(ctimes) // 2] / K
     return {
         "epoch_ms": round(dt * 1000, 2),
         "samples_per_sec": round(steps * batch / dt, 1),
         "final_loss": loss,
+        "chunked_epoch_ms": round(cdt * 1000, 2),
+        "chunked_samples_per_sec": round(steps * batch / cdt, 1),
     }
 
 

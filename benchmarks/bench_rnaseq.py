@@ -71,12 +71,42 @@ def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
     steps = n_cells // batch
     flops_per_step = 3 * (2 * batch * n_genes * hidden) * 2
     tflops = flops_per_step * steps / dt / 1e12
+
+    # K-epochs-per-dispatch steady state (Trainer(epochs_per_dispatch=K)):
+    # the ~25-30 ms axon dispatch round trip is a large share of a
+    # 30-70 ms epoch; the chunk program amortizes it over K epochs (and
+    # additionally evaluates a batch-sized val split each epoch).
+    K = 5
+    chunk_fn = trainer._chunk_fn(n_cells, batch, batch, K)
+    x_val = xd[:batch]
+    best_params = jax.tree.map(jnp.copy, params)
+    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    key, k = jax.random.split(key)
+    params, opt_state, best_params, best_val, k, tms, vms = chunk_fn(
+        params, opt_state, best_params, best_val, xd, x_val, k
+    )
+    float(tms["loss_total"][-1])  # compile + axon sync
+    ctimes = []
+    for _ in range(3):
+        key, k2 = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, best_params, best_val, k2, tms, vms = chunk_fn(
+            params, opt_state, best_params, best_val, xd, x_val, k2
+        )
+        float(tms["loss_total"][-1])
+        ctimes.append(time.perf_counter() - t0)
+    ctimes.sort()
+    cdt = ctimes[len(ctimes) // 2] / K
+    ctflops = flops_per_step * steps / cdt / 1e12
     return {
         "epoch_ms": round(dt * 1000, 1),
         "samples_per_sec": round(steps * batch / dt, 1),
         "achieved_tflops": round(tflops, 2),
         "pct_of_v5e_peak": round(100 * tflops / V5E_PEAK_TFLOPS[dtype], 2),
         "final_loss": loss,
+        "chunked_epoch_ms": round(cdt * 1000, 1),
+        "chunked_samples_per_sec": round(steps * batch / cdt, 1),
+        "chunked_achieved_tflops": round(ctflops, 2),
     }
 
 
@@ -133,6 +163,9 @@ def main():
             r = bench(dtype, n_cells, args.n_genes, batch, hidden)
             r["pct_of_measured_device_peak"] = round(
                 100 * r["achieved_tflops"] / measured_peak[dtype], 2
+            )
+            r["chunked_pct_of_measured_device_peak"] = round(
+                100 * r["chunked_achieved_tflops"] / measured_peak[dtype], 2
             )
             key = f"rnaseq_b{batch}_h{hidden}_{dtype}"
             results[key] = r

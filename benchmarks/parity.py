@@ -36,7 +36,35 @@ if str(REPO_ROOT) not in sys.path:
 import numpy as np
 
 
-def train_torch(x_train, x_val, epochs, batch_size, lr, seed=0, patience=10):
+def load_jax_init_into_torch(model, jax_params):
+    """Copy a GyroplaneVAE init (jax param tree, numpy leaves) into the
+    torch mirror — layer-for-layer identical architecture, so seed-paired
+    runs start from the SAME weights and best-val differences measure
+    framework numerics + shuffle/sample RNG streams, not init luck."""
+    import torch
+
+    p = jax_params
+    t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+    sd = model.state_dict()
+    mapping = {
+        "enc.0.weight": p["enc_0"]["kernel"].T, "enc.0.bias": p["enc_0"]["bias"],
+        "enc.2.weight": p["enc_1"]["kernel"].T, "enc.2.bias": p["enc_1"]["bias"],
+        "mu.weight": p["mu"]["kernel"].T, "mu.bias": p["mu"]["bias"],
+        "scale.weight": p["scale"]["kernel"].T, "scale.bias": p["scale"]["bias"],
+        "mp_points": p["gyroplanes"]["mp_points"],
+        "plane_bias": p["gyroplanes"]["bias"],
+        "dec.1.weight": p["dec_0"]["kernel"].T, "dec.1.bias": p["dec_0"]["bias"],
+        "dec.3.weight": p["out"]["kernel"].T, "dec.3.bias": p["out"]["bias"],
+    }
+    assert set(mapping) == set(sd), (set(sd) ^ set(mapping))
+    for k, v in mapping.items():
+        assert sd[k].shape == v.shape, (k, sd[k].shape, v.shape)
+        sd[k] = t(np.asarray(v))
+    model.load_state_dict(sd)
+
+
+def train_torch(x_train, x_val, epochs, batch_size, lr, seed=0, patience=10,
+                init_params=None):
     """Reference protocol: early stopping on val loss, patience 10
     (trainer_mnist.py:34), ReduceLROnPlateau(0.2, 20, min 5e-5) on val
     loss (vae_hyperbolic.py:236-243 — the SAME controller object the JAX
@@ -51,6 +79,8 @@ def train_torch(x_train, x_val, epochs, batch_size, lr, seed=0, patience=10):
     torch.manual_seed(seed)
     numel = int(np.prod(x_train.shape[1:]))
     model = TorchGyroplaneVAE(data_numel=numel)
+    if init_params is not None:
+        load_jax_init_into_torch(model, init_params)
     opt = TorchRiemannianAdam(model.named_parameters(), model.ball, lr=lr)
     plateau = ReduceLROnPlateau(lr=lr)
     xt = torch.from_numpy(x_train.reshape(len(x_train), -1))
@@ -92,6 +122,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument(
+        "--no-shared-init", action="store_true",
+        help="let torch use its own init instead of the jax arm's per-seed init",
+    )
     args = ap.parse_args()
 
     from hyperbolic_vae_tpu.data.core import ArrayDataModule
@@ -147,7 +181,17 @@ def main():
         t0 = time.perf_counter()
         for seed in args.seeds:
             ts = time.perf_counter()
-            hist = train_torch(x_train, x_val, args.epochs, args.batch_size, args.lr, seed)
+            init_p = None
+            if not args.no_shared_init:
+                # replicate fit()'s exact key path for this seed so the
+                # torch arm starts from the SAME weights as the jax arm
+                import jax
+
+                k0 = jax.random.PRNGKey(seed)
+                _, init_key = jax.random.split(k0)
+                init_p = jax.device_get(trainer.init_params(x_train, init_key))
+            hist = train_torch(x_train, x_val, args.epochs, args.batch_size, args.lr, seed,
+                               init_params=init_p)
             torch_secs.append(time.perf_counter() - ts)
             torch_bests.append(min(hist))
             torch_epochs.append(len(hist))
