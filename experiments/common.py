@@ -31,6 +31,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--n-train", type=int, default=60000, help="synthetic train size")
     p.add_argument("--run-dir", type=str, default=None)
     p.add_argument("--no-early-stopping", action="store_true")
+    p.add_argument(
+        "--epochs-per-dispatch", type=int, default=1,
+        help="K>1: run K epochs per device dispatch (amortizes per-epoch"
+        " host round trips; early-stop/LR-plateau act at chunk boundaries)",
+    )
     p.add_argument("--use-mesh", action="store_true", help="shard over all local devices")
     p.add_argument("--log-level", type=str, default="INFO")
     return p
@@ -46,3 +51,9 @@ def setup(args, name: str) -> Path:
     run_dir = Path(args.run_dir) if args.run_dir else RUNS_PATH / name
     run_dir.mkdir(parents=True, exist_ok=True)
     return run_dir
+
+
+def trainer_extra(args) -> dict:
+    """Trainer kwargs driven by common CLI flags (experiments splat this
+    into their Trainer(...) call)."""
+    return {"epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1)}

@@ -13,7 +13,7 @@ import json
 import jax
 import jax.numpy as jnp
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import PvaeMLPVAE
@@ -69,6 +69,7 @@ if __name__ == "__main__":
                     early_stopping_patience=None if args.no_early_stopping else 10,
                     log_dir=str(run_dir / tag),
                     use_mesh=args.use_mesh,
+                    **trainer_extra(args),
                 )
                 result = trainer.fit(dm)
                 iwae = iwae_eval(model, result.best_params, dm, args.iwae_k)

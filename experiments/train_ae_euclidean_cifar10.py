@@ -5,7 +5,7 @@ latent sweep [64, 128, 256, 384], pretrained-checkpoint short-circuit
 (:31-37), val+test eval (:39-41).
 """
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import cifar10
 from hyperbolic_vae_tpu.models import Autoencoder
@@ -33,6 +33,7 @@ def train_cifar(args, run_dir, latent_dim: int) -> dict:
         checkpoint_dir=str(ckpt_dir),
         callbacks=[GenerateCallback(every_n_epochs=10)],
         use_mesh=args.use_mesh,
+        **trainer_extra(args),
     )
     # pretrained short-circuit (ref :31-37)
     mgr = CheckpointManager(str(ckpt_dir))

@@ -4,7 +4,7 @@ Reference: /root/reference/scripts/_2_train_vae_euclidean_cifar10.py —
 the canonical dataset -> datamodule -> model -> trainer pipeline (:1-19).
 """
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import cifar10
 from hyperbolic_vae_tpu.models import EuclideanVAE
@@ -35,6 +35,7 @@ if __name__ == "__main__":
         checkpoint_dir=str(run_dir / "ckpt"),
         callbacks=[GenerateCallback(every_n_epochs=10), LatentScatterCallback(every_n_epochs=10)],
         use_mesh=args.use_mesh,
+        **trainer_extra(args),
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

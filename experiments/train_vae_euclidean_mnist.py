@@ -9,7 +9,7 @@ padding is explicit).
 
 import numpy as np
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import EuclideanVAE
@@ -53,6 +53,7 @@ if __name__ == "__main__":
             LatentScatterCallback(every_n_epochs=10, range_xy=4.0),
         ],
         use_mesh=args.use_mesh,
+        **trainer_extra(args),
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

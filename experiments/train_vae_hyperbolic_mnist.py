@@ -6,7 +6,7 @@ Reference: /root/reference/scripts/_5_train_vae_hyperbolic_mnist.py:19-52.
 
 import numpy as np
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import HyperbolicImageVAE
@@ -55,6 +55,7 @@ if __name__ == "__main__":
             LatentScatterCallback(every_n_epochs=10),
         ],
         use_mesh=args.use_mesh,
+        **trainer_extra(args),
     )
     result = trainer.fit(dm)
     best = trainer._ckpt_mgr.restore("best", like=result.params)

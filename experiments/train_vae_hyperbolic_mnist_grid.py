@@ -9,7 +9,7 @@ import itertools
 import json
 import traceback
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import HyperbolicImageVAE
@@ -57,6 +57,7 @@ if __name__ == "__main__":
                 early_stopping_patience=None if args.no_early_stopping else 10,
                 log_dir=str(run_dir / tag),
                 use_mesh=args.use_mesh,
+                **trainer_extra(args),
             )
             result = trainer.fit(dm)
             test = trainer.evaluate(dm, result.best_params, "test")

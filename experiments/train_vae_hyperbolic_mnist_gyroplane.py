@@ -8,7 +8,7 @@ trainer's per-epoch isfinite guard covers it (enable jax_debug_nans for
 the step-level equivalent).
 """
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import GyroplaneVAE
@@ -43,6 +43,7 @@ def train_latent_dim(args, run_dir, latent_dim: int):
             LatentScatterCallback(every_n_epochs=10),  # range = ball radius
         ],
         use_mesh=args.use_mesh,
+        **trainer_extra(args),
     )
     result = trainer.fit(dm)
     print(f"epochs={result.epochs_run} best {trainer.monitor}={result.best_metric:.4f} "

@@ -7,7 +7,7 @@ kl_loss_method = "logmap0_analytic", hidden 100. Uses the fake Poisson
 dataset (jerby_arnon.py:199-219) when --fake or no --data-dir given.
 """
 
-from common import base_parser, setup
+from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import jerby_arnon, mnist
 from hyperbolic_vae_tpu.models import UnifiedVAE
@@ -83,6 +83,7 @@ if __name__ == "__main__":
         use_mesh=args.use_mesh and mesh is None,
         mesh=mesh,
         param_sharding_fn=param_sharding_fn,
+        **trainer_extra(args),
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))
