@@ -34,4 +34,8 @@ def __getattr__(name):
         from hyperbolic_vae_tpu import distributions
 
         return getattr(distributions, name)
+    if name == "Inferencer":
+        from hyperbolic_vae_tpu.serve import Inferencer
+
+        return Inferencer
     raise AttributeError(name)

@@ -1,0 +1,66 @@
+"""Serving endpoint: fixed-batch padded inference over checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hyperbolic_vae_tpu.data.mnist import make_data_module
+from hyperbolic_vae_tpu.models import GyroplaneVAE
+from hyperbolic_vae_tpu.serve import Inferencer
+from hyperbolic_vae_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=320, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    ckpt = tmp_path_factory.mktemp("serve") / "ckpt"
+    trainer = Trainer(
+        model, max_epochs=2, early_stopping_patience=None,
+        checkpoint_dir=str(ckpt), check_finite=False,
+    )
+    result = trainer.fit(dm)
+    return dm, model, result, str(ckpt)
+
+
+def test_padded_matches_direct_apply(trained):
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64)
+    # 100 samples: one full batch + a 36-sample padded batch
+    x = dm.x_train[:100]
+    mu = inf.embed(x)
+    assert mu.shape == (100, 2)
+    direct = model.apply({"params": result.best_params}, x[64:100], method="encode")
+    direct_mu = direct[0] if isinstance(direct, tuple) else direct
+    np.testing.assert_allclose(mu[64:100], np.asarray(direct_mu), atol=1e-6)
+    # embeddings live on the ball
+    assert np.all(np.linalg.norm(mu, axis=-1) < 1.0)
+
+
+def test_reconstruct_shapes_and_range(trained):
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64)
+    x = dm.x_train[:70]
+    xh = inf.reconstruct(x)
+    assert xh.shape == x.shape
+    assert np.all((xh >= 0) & (xh <= 1))  # sigmoid output
+    assert np.all(np.isfinite(xh))
+
+
+def test_from_checkpoint_roundtrip(trained):
+    dm, model, result, ckpt = trained
+    inf = Inferencer.from_checkpoint(ckpt, batch_size=32).warmup()
+    x = dm.x_train[:10]
+    mu_ckpt = inf.embed(x)
+    mu_live = Inferencer(model, result.best_params, batch_size=32).embed(x)
+    np.testing.assert_allclose(mu_ckpt, mu_live, atol=1e-6)
+
+
+def test_decode_endpoint(trained):
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=16)
+    z = np.random.default_rng(0).normal(0, 0.3, (5, 2)).astype(np.float32)
+    xh = inf.decode(z)
+    assert xh.shape == (5,) + tuple(dm.input_shape)
+    assert np.all(np.isfinite(xh))
