@@ -10,8 +10,12 @@ different from training:
     shape and pad, or it recompiles (seconds to minutes on a remote
     relay) on every ragged request.
   * Dispatch round trips dominate small requests (~25-30 ms each on the
-    axon tunnel), so the whole request should be as few dispatches as
-    possible: ceil(N / batch) compiled calls, one host fetch.
+    axon tunnel), so a k-batch request runs as ONE lax.map program —
+    sequential per-batch dispatches do not pipeline there. Large
+    requests are then host<->device TRANSFER-bound on tunneled devices
+    (~13 MB moved for a 2048-image reconstruct), which no dispatch
+    strategy fixes; on directly-attached TPUs the same design is
+    PCIe/DMA-bound far later.
   * Donation would free the params between calls; serving params are
     held resident and never donated.
 
@@ -82,32 +86,47 @@ class Inferencer:
             self._compiled[method] = jax.jit(apply)
         return self._compiled[method]
 
+    def _fn_k(self, method: str, k: int):
+        """ONE compiled program for a k-batch request: lax.map over the
+        (k, B, ...) stack, so a request of any size costs a single device
+        round trip (sequential per-batch dispatches do NOT pipeline on
+        the axon tunnel — measured ~50 ms each). Cached per (method, k);
+        warmup() can prime common sizes."""
+        key = (method, k)
+        if key not in self._compiled:
+            apply = self._fn(method)
+            params = self.params
+
+            def apply_k(params, xk):
+                return jax.lax.map(lambda xb: apply(params, xb), xk)
+
+            self._compiled[key] = jax.jit(apply_k) if k > 1 else apply
+        return self._compiled[key]
+
     def _run_padded(self, method: str, x: np.ndarray):
-        """ceil(N/B) fixed-shape dispatches; pad the last batch by
-        repeating row 0 (values discarded), fetch once."""
+        """Pad N up to k*B (repeating row 0; padded outputs discarded),
+        run the k-batch program, fetch once."""
         n = x.shape[0]
         b = self.batch_size
-        fn = self._fn(method)
-        outs = []
-        for start in range(0, n, b):
-            chunk = x[start : start + b]
-            pad = b - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, axis=0)], 0)
-            xb = jnp.asarray(chunk, jnp.float32)
-            if self.mesh is not None:
-                from hyperbolic_vae_tpu.parallel.mesh import data_sharding
+        k = max((n + b - 1) // b, 1)
+        pad = k * b - n
+        if pad:
+            x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)], 0)
+        if k > 1:
+            xk = jnp.asarray(x.reshape((k, b) + x.shape[1:]), jnp.float32)
+            out = self._fn_k(method, k)(self.params, xk)
+            flat = jax.tree.map(
+                lambda a: np.asarray(a).reshape((k * b,) + a.shape[2:])[:n],
+                jax.device_get(out),
+            )
+            return flat
+        xb = jnp.asarray(x, jnp.float32)
+        if self.mesh is not None:
+            from hyperbolic_vae_tpu.parallel.mesh import data_sharding
 
-                xb = jax.device_put(xb, data_sharding(self.mesh, xb.ndim))
-            outs.append(fn(self.params, xb))
-        outs = jax.device_get(outs)  # ONE host transfer for the whole request
-
-        def cat(*leaves):
-            return np.concatenate(leaves, axis=0)[:n]
-
-        return jax.tree.map(cat, *outs) if len(outs) > 1 else jax.tree.map(
-            lambda a: np.asarray(a)[:n], outs[0]
-        )
+            xb = jax.device_put(xb, data_sharding(self.mesh, xb.ndim))
+        out = jax.device_get(self._fn(method)(self.params, xb))
+        return jax.tree.map(lambda a: np.asarray(a)[:n], out)
 
     # ------------------------------------------------------------------ #
 
