@@ -95,7 +95,6 @@ class Inferencer:
         key = (method, k)
         if key not in self._compiled:
             apply = self._fn(method)
-            params = self.params
 
             def apply_k(params, xk):
                 return jax.lax.map(lambda xb: apply(params, xb), xk)

@@ -546,7 +546,7 @@ class Trainer:
             else:
                 total_samples += samples_per_epoch * min(k, self.max_epochs - chunk_start)
 
-            chunk_improved = False
+            best_row = None  # (epoch, metrics) of the best epoch in this chunk
             for i in range(min(k, self.max_epochs - chunk_start)):
                 epoch = chunk_start + i
                 metrics = {f"train/{m}": float(v[i]) for m, v in tms.items()}
@@ -562,18 +562,20 @@ class Trainer:
                 if monitored is not None and np.isfinite(monitored):
                     if monitored < best_metric:
                         best_metric = monitored
-                        chunk_improved = True
+                        best_row = (epoch, metrics)
                     self.plateau.step(monitored)
                     if self.early_stopping and self.early_stopping.step(monitored):
                         logger.info("early stopping at epoch %d (chunk boundary)", epoch)
                         stop = True
                         break
 
-            if chunk_improved and self._ckpt_mgr:
+            if best_row is not None and self._ckpt_mgr:
                 # best_params is tracked in-graph; copy so the async save
-                # never races the next dispatch's donation of the buffer
+                # never races the next dispatch's donation of the buffer.
+                # Saved under the best epoch's number + metrics (Lightning
+                # ModelCheckpoint semantics), not the chunk end's.
                 self._ckpt_mgr.save_best(
-                    epochs_run - 1, jax.tree.map(jnp.copy, best_params), history[-1]
+                    best_row[0], jax.tree.map(jnp.copy, best_params), best_row[1]
                 )
             for cb in self.callbacks:
                 if hasattr(cb, "on_epoch_end"):
