@@ -91,3 +91,29 @@ def test_trainer_fit_with_tensor_parallelism():
     l1 = [h["train/loss_total"] for h in r1.history]
     l2 = [h["train/loss_total"] for h in r2.history]
     np.testing.assert_allclose(l1, l2, rtol=1e-3)
+
+
+def test_chunked_fit_on_mesh_matches_single_device():
+    """epochs_per_dispatch composes with data-parallel sharding: the
+    chunk program (scan of train+eval epochs) runs over the 8-device
+    mesh and reproduces the single-device loss history."""
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+
+    t1 = Trainer(
+        model, max_epochs=4, early_stopping_patience=None, seed=7,
+        plateau_patience=1000,
+    )
+    r1 = t1.fit(dm)
+    t8 = Trainer(
+        model, max_epochs=4, early_stopping_patience=None, seed=7,
+        plateau_patience=1000, mesh=make_mesh(n_data=8),
+        epochs_per_dispatch=2,
+    )
+    r8 = t8.fit(dm)
+    l1 = [h["train/loss_total"] for h in r1.history]
+    l8 = [h["train/loss_total"] for h in r8.history]
+    np.testing.assert_allclose(l1, l8, rtol=1e-3)
+    v1 = [h["val/loss_total"] for h in r1.history]
+    v8 = [h["val/loss_total"] for h in r8.history]
+    np.testing.assert_allclose(v1, v8, rtol=1e-3)
