@@ -117,3 +117,35 @@ def test_chunked_fit_on_mesh_matches_single_device():
     v1 = [h["val/loss_total"] for h in r1.history]
     v8 = [h["val/loss_total"] for h in r8.history]
     np.testing.assert_allclose(v1, v8, rtol=1e-3)
+
+
+def test_chunked_fit_with_tensor_parallelism():
+    """epochs_per_dispatch composes with dp4 x tp2: the chunk program runs
+    with 'model'-sharded wide params + 'data'-sharded batches and matches
+    the single-device histories."""
+    import numpy as np
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (512, 256)).astype(np.float32)
+    y = np.zeros(512, np.int32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=y, x_val=x[:128], y_val=y[:128],
+        x_test=x[:128], y_test=y[:128], batch_size=64,
+    )
+    model = RNASeqVAE(in_features=256, hidden_dim=32, latent_dim=2)
+
+    t1 = Trainer(model, max_epochs=4, early_stopping_patience=None, seed=5,
+                 plateau_patience=1000)
+    r1 = t1.fit(dm)
+    t_tp = Trainer(
+        model, max_epochs=4, early_stopping_patience=None, seed=5,
+        plateau_patience=1000, mesh=make_mesh(n_data=4, n_model=2),
+        param_sharding_fn=tp_param_shardings, epochs_per_dispatch=2,
+    )
+    r2 = t_tp.fit(dm)
+    for k in ("train/loss_total", "val/loss_total"):
+        l1 = [h[k] for h in r1.history]
+        l2 = [h[k] for h in r2.history]
+        np.testing.assert_allclose(l1, l2, rtol=1e-3)
