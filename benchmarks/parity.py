@@ -44,7 +44,8 @@ def load_jax_init_into_torch(model, jax_params):
     import torch
 
     p = jax_params
-    t = lambda a: torch.from_numpy(np.ascontiguousarray(a))
+    # copy=True: device_get arrays are read-only; from_numpy on them warns
+    t = lambda a: torch.from_numpy(np.array(a, copy=True))
     sd = model.state_dict()
     mapping = {
         "enc.0.weight": p["enc_0"]["kernel"].T, "enc.0.bias": p["enc_0"]["bias"],
