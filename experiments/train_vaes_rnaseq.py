@@ -17,6 +17,8 @@ if __name__ == "__main__":
     parser = base_parser(__doc__)
     parser.add_argument("--dataset", type=str, default="rnaseq", choices=["rnaseq", "mnist"])
     parser.add_argument("--fake", action="store_true", help="seeded fake RNA-seq data")
+    parser.add_argument("--structured-fake", action="store_true",
+                        help="fake data with per-type marker-gene modules (latent figures)")
     parser.add_argument("--rnaseq-dir", type=str, default=None)
     parser.add_argument("--normalize", type=str, default="z_score")
     parser.add_argument("--latent-dim", type=int, default=2)
@@ -44,6 +46,7 @@ if __name__ == "__main__":
             data_dir=args.rnaseq_dir,
             fake=args.fake or args.rnaseq_dir is None,
             rnaseq_normalize_method=args.normalize,
+            structured_fake=args.structured_fake,
         )
         callbacks = [LatentScatterCallback(every_n_epochs=10)]
 

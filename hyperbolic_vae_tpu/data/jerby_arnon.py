@@ -146,12 +146,32 @@ def read_tpm(path_csv, skiprows=None, use_native: bool = True) -> "pandas.DataFr
     return df.T
 
 
-def make_fake_arrays(n_samples: int = 1000, n_genes: int = 2000, seed: int = 42):
+def make_fake_arrays(n_samples: int = 1000, n_genes: int = 2000, seed: int = 42,
+                     structured: bool = False):
     """Seeded Poisson(100) counts with the real schema — the reference's
-    fake-data factory (jerby_arnon.py:199-219)."""
+    fake-data factory (jerby_arnon.py:199-219).
+
+    ``structured=True`` is a DELIBERATE extension beyond the reference:
+    each cell type gets its own module of ~n_genes/20 marker genes whose
+    Poisson rate is elevated 3x, so a latent model that works separates
+    the types (the reference's flat-Poisson fake carries zero type
+    signal, which makes latent figures on it uninformative)."""
     rng = np.random.default_rng(seed)
-    x = rng.poisson(100, size=(n_samples, n_genes)).astype(np.float32)
-    cell_types = rng.choice(list(nice_to_weirds), size=n_samples)
+    types = list(nice_to_weirds)
+    if structured:
+        cell_types = rng.choice(types, size=n_samples)
+        module = max(n_genes // 20, 1)
+        rates = np.full((len(types), n_genes), 100.0)
+        for t in range(len(types)):
+            lo = (t * module) % max(n_genes - module, 1)
+            rates[t, lo : lo + module] = 300.0
+        type_idx = np.array([types.index(t) for t in cell_types])
+        x = rng.poisson(rates[type_idx]).astype(np.float32)
+    else:
+        # draw order (x, then labels) preserved from the original factory
+        # so the default seeded values stay bit-identical across versions
+        x = rng.poisson(100, size=(n_samples, n_genes)).astype(np.float32)
+        cell_types = rng.choice(types, size=n_samples)
     gene_symbols = [f"gene_{i:05d}" for i in range(n_genes)]
     cell_ids = [f"cell_{i}" for i in range(n_samples)]
     return x, cell_types, gene_symbols, cell_ids
@@ -215,10 +235,12 @@ def make_rnaseq_data_module(
     n_genes: int = 2000,
     rnaseq_normalize_method: str | None = "z_score",
     seed: int = 42,
+    structured_fake: bool = False,
 ) -> ArrayDataModule:
     """70/15/15 split, seed 42 (reference jerby_arnon.py:231-249)."""
     if fake or data_dir is None:
-        x, cell_types, _, _ = make_fake_arrays(n_samples, n_genes)
+        x, cell_types, _, _ = make_fake_arrays(n_samples, n_genes,
+                                               structured=structured_fake)
         x = normalize_rnaseq(x, rnaseq_normalize_method).astype(np.float32)
     else:
         x, cell_types, _ = load_jerby_arnon_arrays(data_dir, rnaseq_normalize_method)

@@ -133,3 +133,20 @@ def test_zscore_matches_scipy_default_ddof():
     got = normalize_rnaseq(x, "z_score")
     exp = (x - x.mean(0)) / x.std(0, ddof=0)
     np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fake_rnaseq_structured_markers():
+    """structured=True: each type's marker-gene module has elevated mean;
+    the default (reference-parity) path is unchanged by the option."""
+    x, ct, _, _ = jerby_arnon.make_fake_arrays(600, 200, structured=True)
+    types = list(jerby_arnon.nice_to_weirds)
+    module = 200 // 20
+    t0 = types[0]
+    mask = np.asarray(ct) == t0
+    assert mask.sum() > 10
+    marker_mean = x[mask, 0:module].mean()
+    background_mean = x[mask, module : 2 * module].mean()
+    assert marker_mean > 2.0 * background_mean  # 300 vs 100 Poisson rates
+    x_default, _, _, _ = jerby_arnon.make_fake_arrays(50, 30)
+    x_default2, _, _, _ = jerby_arnon.make_fake_arrays(50, 30, structured=False)
+    np.testing.assert_array_equal(x_default, x_default2)
