@@ -99,3 +99,29 @@ def test_chunked_requires_val_monitor(dm):
     )
     with pytest.raises(ValueError, match="val/ monitor"):
         trainer.fit(dm)
+
+
+def test_chunked_skips_nonfinite_steps(dm):
+    """SURVEY 5.2 failure containment through the chunk program: a NaN
+    row in the training data poisons some steps; the in-graph isfinite
+    guard must skip them (skipped_steps > 0) and keep params finite."""
+    import jax
+
+    x_bad = dm.x_train.copy()
+    x_bad[5] = np.nan
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+
+    dm_bad = ArrayDataModule(
+        x_train=x_bad, y_train=dm.y_train, x_val=dm.x_val, y_val=dm.y_val,
+        x_test=dm.x_test, y_test=dm.y_test, batch_size=dm.batch_size,
+    )
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=4, early_stopping_patience=None,
+        plateau_patience=1000, epochs_per_dispatch=2, check_finite=True,
+    )
+    r = trainer.fit(dm_bad)
+    skipped = [h["train/skipped_steps"] for h in r.history]
+    assert max(skipped) > 0  # the poisoned batch was skipped, not applied
+    for leaf in jax.tree.leaves(r.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))

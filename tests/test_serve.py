@@ -64,3 +64,27 @@ def test_decode_endpoint(trained):
     xh = inf.decode(z)
     assert xh.shape == (5,) + tuple(dm.input_shape)
     assert np.all(np.isfinite(xh))
+
+
+def test_serve_conv_family(tmp_path):
+    """Inferencer is model-agnostic: the conv Euclidean VAE (tuple encode
+    output, image decode) serves through the same endpoints."""
+    import numpy as np
+
+    from hyperbolic_vae_tpu.models import EuclideanVAE
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (128, 32, 32, 3)).astype(np.float32)
+    y = np.zeros(128, np.int32)
+    dm = ArrayDataModule(x_train=x, y_train=y, x_val=x[:32], y_val=y[:32],
+                         x_test=x[:32], y_test=y[:32], batch_size=32)
+    model = EuclideanVAE(data_shape=(32, 32, 3), latent_dim=4)
+    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None,
+                      check_finite=False)
+    result = trainer.fit(dm)
+    inf = Inferencer(model, result.params, batch_size=32)
+    mu = inf.embed(x[:40])  # 40 -> k=2 scanned path
+    assert mu.shape == (40, 4) and np.all(np.isfinite(mu))
+    xh = inf.reconstruct(x[:10])
+    assert xh.shape == (10, 32, 32, 3) and np.all(np.isfinite(xh))
