@@ -111,25 +111,25 @@ def bench_jax() -> float:
     import jax.numpy as jnp
 
     # K=20: measured 15.9 / 12.8 / 11.2 ms/epoch at K=5/10/20 (device
-    # ~10.9 ms + ~25 ms dispatch overhead / K). Early-stop/plateau lag of
-    # <=K-1 epochs is negligible against the 300-epoch reference protocol.
+    # ~10.9 ms + ~25 ms dispatch overhead / K). Controllers (plateau LR,
+    # early stop) run IN-GRAPH, so chunked semantics match K=1 exactly.
     K = 20
     n_val = int(dm.x_val.shape[0])
     chunk_fn = trainer._chunk_fn(n_train, dm.batch_size, n_val, K)
     x_val = jnp.asarray(dm.x_val)
     best_params = jax.tree.map(jnp.copy, params)
-    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    ctrl = trainer._init_ctrl()
     key, k = jax.random.split(key)
-    params, opt_state, best_params, best_val, k, tms, vms = chunk_fn(
-        params, opt_state, best_params, best_val, x_train, x_val, k
+    params, opt_state, best_params, ctrl, k, tms, vms, _ = chunk_fn(
+        params, opt_state, best_params, ctrl, x_train, x_val, k
     )
     float(tms["loss_total"][-1])  # compile + sync
     ctimes = []
     for _ in range(3):
         key, k2 = jax.random.split(key)
         t0 = time.perf_counter()
-        params, opt_state, best_params, best_val, k2, tms, vms = chunk_fn(
-            params, opt_state, best_params, best_val, x_train, x_val, k2
+        params, opt_state, best_params, ctrl, k2, tms, vms, _ = chunk_fn(
+            params, opt_state, best_params, ctrl, x_train, x_val, k2
         )
         float(tms["loss_total"][-1])
         ctimes.append(time.perf_counter() - t0)

@@ -35,7 +35,8 @@ if str(REPO_ROOT) not in sys.path:
 V5E_PEAK_TFLOPS = {"float32": 98.5, "bfloat16": 197.0}
 
 
-def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
+def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int,
+          param_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +47,8 @@ def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (n_cells, n_genes)).astype(np.float32)
     model = RNASeqVAE(
-        in_features=n_genes, hidden_dim=hidden, latent_dim=2, compute_dtype=dtype
+        in_features=n_genes, hidden_dim=hidden, latent_dim=2,
+        compute_dtype=dtype, param_dtype=param_dtype,
     )
     trainer = Trainer(model, max_epochs=1, early_stopping_patience=None,
                       shuffle="block", check_finite=False)
@@ -80,18 +82,18 @@ def bench(dtype: str, n_cells: int, n_genes: int, batch: int, hidden: int):
     chunk_fn = trainer._chunk_fn(n_cells, batch, batch, K)
     x_val = xd[:batch]
     best_params = jax.tree.map(jnp.copy, params)
-    best_val = jnp.asarray(jnp.inf, jnp.float32)
+    ctrl = trainer._init_ctrl()
     key, k = jax.random.split(key)
-    params, opt_state, best_params, best_val, k, tms, vms = chunk_fn(
-        params, opt_state, best_params, best_val, xd, x_val, k
+    params, opt_state, best_params, ctrl, k, tms, vms, _ = chunk_fn(
+        params, opt_state, best_params, ctrl, xd, x_val, k
     )
     float(tms["loss_total"][-1])  # compile + axon sync
     ctimes = []
     for _ in range(3):
         key, k2 = jax.random.split(key)
         t0 = time.perf_counter()
-        params, opt_state, best_params, best_val, k2, tms, vms = chunk_fn(
-            params, opt_state, best_params, best_val, xd, x_val, k2
+        params, opt_state, best_params, ctrl, k2, tms, vms, _ = chunk_fn(
+            params, opt_state, best_params, ctrl, xd, x_val, k2
         )
         float(tms["loss_total"][-1])
         ctimes.append(time.perf_counter() - t0)
@@ -159,15 +161,26 @@ def main():
     for cfg in args.configs:
         batch, hidden = (int(v) for v in cfg.split("x"))
         n_cells = max(args.n_cells, 8 * batch)
-        for dtype in ("float32", "bfloat16"):
-            r = bench(dtype, n_cells, args.n_genes, batch, hidden)
+        # (compute_dtype, param_dtype): bf16 STORAGE of the wide kernels
+        # halves the weights+grads+moments HBM stream that bounds the
+        # realistic b256 config (round-2 VERDICT weak #2) — measured with
+        # both f32 and bf16 compute (this chip runs both at the same
+        # measured matmul rate, so any win is pure bandwidth).
+        arms = [
+            ("float32", "float32"), ("bfloat16", "float32"),
+            ("float32", "bfloat16"), ("bfloat16", "bfloat16"),
+        ]
+        for dtype, pdt in arms:
+            r = bench(dtype, n_cells, args.n_genes, batch, hidden, param_dtype=pdt)
             r["pct_of_measured_device_peak"] = round(
                 100 * r["achieved_tflops"] / measured_peak[dtype], 2
             )
             r["chunked_pct_of_measured_device_peak"] = round(
                 100 * r["chunked_achieved_tflops"] / measured_peak[dtype], 2
             )
-            key = f"rnaseq_b{batch}_h{hidden}_{dtype}"
+            key = f"rnaseq_b{batch}_h{hidden}_{dtype}" + (
+                "_p16" if pdt == "bfloat16" else ""
+            )
             results[key] = r
             print(json.dumps({"config": key, **r}), file=sys.stderr, flush=True)
         results[f"b{batch}_h{hidden}_bf16_speedup"] = round(

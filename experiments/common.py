@@ -34,7 +34,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--epochs-per-dispatch", type=int, default=1,
         help="K>1: run K epochs per device dispatch (amortizes per-epoch"
-        " host round trips; early-stop/LR-plateau act at chunk boundaries)",
+        " host round trips; early-stop/LR-plateau run in-graph with exact"
+        " per-epoch K=1 semantics)",
     )
     p.add_argument("--use-mesh", action="store_true", help="shard over all local devices")
     p.add_argument("--log-level", type=str, default="INFO")

@@ -18,11 +18,18 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class ReduceLROnPlateau:
     """torch-semantics plateau scheduler (mode='min', default threshold
-    semantics: rel threshold 1e-4)."""
+    semantics: rel threshold 1e-4).
+
+    Arithmetic is done in float32 so this host-side controller is
+    bit-identical to the in-graph controller the chunked trainer compiles
+    (train/trainer.py _chunk_fn) — K=1 and K>1 histories match exactly
+    even across LR drops."""
 
     lr: float
     factor: float = 0.2
@@ -33,13 +40,20 @@ class ReduceLROnPlateau:
     num_bad_epochs: int = 0
 
     def step(self, metric: float) -> float:
-        if metric < self.best * (1.0 - self.threshold):
+        if np.float32(metric) < np.float32(self.best) * (
+            np.float32(1.0) - np.float32(self.threshold)
+        ):
             self.best = metric
             self.num_bad_epochs = 0
         else:
             self.num_bad_epochs += 1
         if self.num_bad_epochs > self.patience:
-            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.lr = float(
+                np.maximum(
+                    np.float32(self.lr) * np.float32(self.factor),
+                    np.float32(self.min_lr),
+                )
+            )
             self.num_bad_epochs = 0
         return self.lr
 
@@ -56,7 +70,7 @@ class EarlyStopping:
 
     def step(self, metric: float) -> bool:
         """Returns True if training should stop."""
-        if metric < self.best - self.min_delta:
+        if np.float32(metric) < np.float32(self.best) - np.float32(self.min_delta):
             self.best = metric
             self.wait = 0
         else:

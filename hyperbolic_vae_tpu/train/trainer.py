@@ -82,14 +82,16 @@ class Trainer:
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
-        # K epochs (train + full val eval + in-graph best-params tracking)
-        # run as ONE compiled program per dispatch. On dispatch-latency-
-        # heavy backends (axon: ~25-30 ms per round trip) this is the
-        # difference between 1.4M and 3.9M samples/sec on the flagship.
-        # Trade-offs at K>1 (all host controllers still see every per-epoch
-        # metric, but only at chunk boundaries): plateau-LR changes and
-        # early stopping apply with up to K-1 epochs of lag, callbacks and
-        # checkpoints see chunk-end params, profile_dir is unsupported.
+        # K epochs (train + full val eval + in-graph best-params tracking
+        # + IN-GRAPH plateau-LR/early-stopping controllers) run as ONE
+        # compiled program per dispatch. On dispatch-latency-heavy
+        # backends (axon: ~25-30 ms per round trip) this is the
+        # difference between 1.4M and 4.7M samples/sec on the flagship.
+        # Semantics are EXACTLY the K=1 loop's for any K (bit-identical
+        # histories incl. across LR drops and early stops — the
+        # controllers run inside the scan; tests/test_chunked_fit.py).
+        # Remaining K>1 trade-offs: callbacks/state checkpoints fire at
+        # chunk boundaries, profile_dir is unsupported.
         assert epochs_per_dispatch >= 1
         self.epochs_per_dispatch = int(epochs_per_dispatch)
         # loss override: e.g. the fused Pallas flagship step
@@ -320,9 +322,18 @@ class Trainer:
 
     def _chunk_fn(self, n_train: int, batch_size: int, n_val: int, k: int):
         """K-epochs-in-one-dispatch program: scan of (train epoch + full
-        val eval + best-params/best-val tracking), PRNG-compatible with
-        the K=1 host loop (same per-epoch key splits, so the loss history
-        is bit-identical when the LR stays constant within a chunk)."""
+        val eval + best-params tracking + IN-GRAPH controllers).
+
+        ReduceLROnPlateau and EarlyStopping run inside the compiled scan
+        with the exact host semantics (optim/schedules.py), so chunked
+        training is bit-identical to the K=1 loop for ANY K — including
+        across LR drops and early stops. Epochs after an in-graph stop are
+        skipped via lax.cond (no wasted FLOPs); the epoch counter freezes,
+        which is how the host learns how many epochs actually ran.
+
+        ``ctrl`` is a dict of scalars: the controller + best-tracking
+        state threaded through chunks (see _fit_chunked for the fields).
+        """
         cache_key = (n_train, batch_size, n_val, k)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
@@ -333,29 +344,114 @@ class Trainer:
                 f"epochs_per_dispatch>1 requires a val/ monitor, got {self.monitor}"
             )
         monitor_key = self.monitor.split("/", 1)[1]
+        pl_factor = self._plateau_cfg["factor"]
+        pl_patience = self._plateau_cfg["patience"]
+        pl_min_lr = self._plateau_cfg["min_lr"]
+        pl_threshold = self.plateau.threshold
+        es_enabled = self._early_patience is not None
+        es_patience = self._early_patience or 0
+        es_min_delta = self.early_stopping.min_delta if es_enabled else 0.0
 
-        def chunk(params, opt_state, best_params, best_val, x_train, x_val, key):
+        def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key):
+            # abstract-eval (no FLOPs) the metric pytree structures so the
+            # skip branch of the cond can emit NaN rows of matching shape
+            tms_shape = jax.eval_shape(
+                lambda p, o, kk: train_body(p, o, x_train, kk)[2], params, opt_state, key
+            )
+            vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk), params, key)
+            nan_of = lambda tree: jax.tree.map(
+                lambda s: jnp.full(s.shape, jnp.nan, s.dtype), tree
+            )
+
             def body(carry, _):
-                params, opt_state, best_params, best_val, key = carry
+                params, opt_state, best_params, ctrl, key = carry
                 key, ek, vk = jax.random.split(key, 3)  # same order as fit()
-                params, opt_state, tms = train_body(params, opt_state, x_train, ek)
-                vms = eval_full(params, x_val, vk)
+                active = ~ctrl["stopped"]
+                lr_used = ctrl["pl_lr"]
+
+                def do_epoch(args):
+                    params, opt_state, ek, vk, lr = args
+                    # in-graph LR injection: same mechanism as the K=1
+                    # loop's host-side hyperparams write, but per-epoch
+                    opt_state = opt_state._replace(
+                        hyperparams=dict(opt_state.hyperparams, learning_rate=lr)
+                    )
+                    params, opt_state, tms = train_body(params, opt_state, x_train, ek)
+                    vms = eval_full(params, x_val, vk)
+                    return params, opt_state, tms, vms
+
+                def skip_epoch(args):
+                    params, opt_state, *_ = args
+                    return params, opt_state, nan_of(tms_shape), nan_of(vms_shape)
+
+                params, opt_state, tms, vms = jax.lax.cond(
+                    active, do_epoch, skip_epoch, (params, opt_state, ek, vk, lr_used)
+                )
+
                 mon = vms[monitor_key]
-                better = jnp.isfinite(mon) & (mon < best_val)
+                finite = jnp.isfinite(mon) & active
+                # best-model tracking (mirrors the K=1 host loop)
+                better = finite & (mon < ctrl["best_val"])
                 best_params = jax.tree.map(
                     lambda b, p: jnp.where(better, p, b), best_params, params
                 )
-                best_val = jnp.where(better, mon, best_val)
-                return (params, opt_state, best_params, best_val, key), (tms, vms)
+                ctrl = dict(ctrl)
+                ctrl["best_val"] = jnp.where(better, mon, ctrl["best_val"])
+                ctrl["best_epoch"] = jnp.where(better, ctrl["epoch"], ctrl["best_epoch"])
+                # ReduceLROnPlateau (torch rel-threshold min semantics)
+                improved = mon < ctrl["pl_best"] * (1.0 - pl_threshold)
+                pl_best = jnp.where(improved, mon, ctrl["pl_best"])
+                pl_bad = jnp.where(improved, 0, ctrl["pl_bad"] + 1)
+                trip = pl_bad > pl_patience
+                pl_lr = jnp.where(
+                    trip, jnp.maximum(ctrl["pl_lr"] * pl_factor, pl_min_lr), ctrl["pl_lr"]
+                )
+                pl_bad = jnp.where(trip, 0, pl_bad)
+                # controllers only step on finite monitors (K=1 parity)
+                ctrl["pl_best"] = jnp.where(finite, pl_best, ctrl["pl_best"])
+                ctrl["pl_bad"] = jnp.where(finite, pl_bad, ctrl["pl_bad"])
+                ctrl["pl_lr"] = jnp.where(finite, pl_lr, ctrl["pl_lr"])
+                if es_enabled:
+                    es_improved = mon < ctrl["es_best"] - es_min_delta
+                    es_best = jnp.where(es_improved, mon, ctrl["es_best"])
+                    es_wait = jnp.where(es_improved, 0, ctrl["es_wait"] + 1)
+                    ctrl["es_best"] = jnp.where(finite, es_best, ctrl["es_best"])
+                    ctrl["es_wait"] = jnp.where(finite, es_wait, ctrl["es_wait"])
+                    ctrl["stopped"] = ctrl["stopped"] | (
+                        finite & (es_wait >= es_patience)
+                    )
+                # the stop epoch itself counts as run (K=1 records it)
+                ctrl["epoch"] = ctrl["epoch"] + jnp.where(active, 1, 0)
+                return (params, opt_state, best_params, ctrl, key), (tms, vms, lr_used)
 
-            carry, (tms, vms) = jax.lax.scan(
-                body, (params, opt_state, best_params, best_val, key), None, length=k
+            carry, ys = jax.lax.scan(
+                body, (params, opt_state, best_params, ctrl, key), None, length=k
             )
-            return carry + (tms, vms)
+            return carry + ys
 
-        fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3))
+        fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         self._chunk_fn_cache[cache_key] = fn
         return fn
+
+    def _init_ctrl(self, start_epoch: int = 0) -> dict:
+        """In-graph controller + best-tracking state for the chunk program
+        (fields mirror optim/schedules.py; seeded from the possibly-resumed
+        host controller mirrors)."""
+        return {
+            "best_val": jnp.asarray(jnp.inf, jnp.float32),
+            "best_epoch": jnp.asarray(-1, jnp.int32),
+            "epoch": jnp.asarray(start_epoch, jnp.int32),
+            "pl_lr": jnp.asarray(self.plateau.lr, jnp.float32),
+            "pl_best": jnp.asarray(self.plateau.best, jnp.float32),
+            "pl_bad": jnp.asarray(self.plateau.num_bad_epochs, jnp.int32),
+            "es_best": jnp.asarray(
+                self.early_stopping.best if self.early_stopping else jnp.inf, jnp.float32
+            ),
+            "es_wait": jnp.asarray(
+                self.early_stopping.wait if self.early_stopping else 0, jnp.int32
+            ),
+            "stopped": jnp.asarray(False),
+        }
 
     def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
         # fresh controller state per fit, so one Trainer can run several
@@ -515,43 +611,54 @@ class Trainer:
     ) -> TrainResult:
         """K-epochs-per-dispatch fit loop (epochs_per_dispatch > 1).
 
-        Per-epoch metrics are still computed and recorded exactly as in
-        the K=1 loop (same PRNG stream, bit-identical histories while the
-        LR is constant); host controllers (plateau LR, early stopping,
-        checkpoints, callbacks) act at chunk boundaries, so their effect
-        can lag by up to K-1 epochs. best_params/best_val are tracked
-        IN-GRAPH every epoch, so the best-checkpoint selection is exact."""
+        Per-epoch metrics, best-params tracking, ReduceLROnPlateau and
+        EarlyStopping ALL run in-graph inside the chunk program with the
+        exact K=1 host semantics, so histories (incl. per-epoch LR) are
+        bit-identical to the K=1 loop for any K, the stop epoch is the
+        same, and the tail chunk never trains past max_epochs (the final
+        chunk is compiled at the trimmed length). The host's job here is
+        logging, checkpointing and callback dispatch only."""
         k = self.epochs_per_dispatch
         n_val = int(dm.x_val.shape[0])
-        chunk_fn = self._chunk_fn(n_train, dm.batch_size, n_val, k)
         steps = n_train // dm.batch_size
         samples_per_epoch = steps * dm.batch_size
         best_metric = float("inf")
-        best_val = jnp.asarray(jnp.inf, jnp.float32)
         total_samples = 0
         t_start = None
         epochs_run = start_epoch
-        stop = False
+        ctrl = self._init_ctrl(start_epoch)
 
         for chunk_start in range(start_epoch, self.max_epochs, k):
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                self.plateau.lr, jnp.float32
+            # trim the final chunk so training NEVER runs past max_epochs
+            # (the compile cache is keyed by k, so only the tail length
+            # costs one extra compile)
+            k_eff = min(k, self.max_epochs - chunk_start)
+            chunk_fn = self._chunk_fn(n_train, dm.batch_size, n_val, k_eff)
+            params, opt_state, best_params, ctrl, key, tms, vms, lrs = chunk_fn(
+                params, opt_state, best_params, ctrl, x_train, x_val, key
             )
-            params, opt_state, best_params, best_val, key, tms, vms = chunk_fn(
-                params, opt_state, best_params, best_val, x_train, x_val, key
-            )
-            tms, vms = jax.device_get((tms, vms))
+            tms, vms, lrs, ctrl_host = jax.device_get((tms, vms, lrs, ctrl))
             if t_start is None:
                 t_start = time.perf_counter()  # exclude the compile chunk
-            else:
-                total_samples += samples_per_epoch * min(k, self.max_epochs - chunk_start)
+            epochs_this_chunk = int(ctrl_host["epoch"]) - chunk_start
+            if t_start is not None and chunk_start != start_epoch:
+                total_samples += samples_per_epoch * epochs_this_chunk
+            stop = bool(ctrl_host["stopped"])
+            # sync the host controller mirrors (resume metadata + hparams)
+            self.plateau.lr = float(ctrl_host["pl_lr"])
+            self.plateau.best = float(ctrl_host["pl_best"])
+            self.plateau.num_bad_epochs = int(ctrl_host["pl_bad"])
+            if self.early_stopping:
+                self.early_stopping.best = float(ctrl_host["es_best"])
+                self.early_stopping.wait = int(ctrl_host["es_wait"])
+                self.early_stopping.stopped = stop
 
             best_row = None  # (epoch, metrics) of the best epoch in this chunk
-            for i in range(min(k, self.max_epochs - chunk_start)):
+            for i in range(epochs_this_chunk):
                 epoch = chunk_start + i
                 metrics = {f"train/{m}": float(v[i]) for m, v in tms.items()}
                 metrics.update({f"val/{m}": float(v[i]) for m, v in vms.items()})
-                metrics.update(lr=self.plateau.lr, epoch=epoch)
+                metrics.update(lr=float(lrs[i]), epoch=epoch)
                 history.append(metrics)
                 epochs_run = epoch + 1
                 if epoch % self.log_every_n_epochs == 0:
@@ -563,17 +670,19 @@ class Trainer:
                     if monitored < best_metric:
                         best_metric = monitored
                         best_row = (epoch, metrics)
-                    self.plateau.step(monitored)
-                    if self.early_stopping and self.early_stopping.step(monitored):
-                        logger.info("early stopping at epoch %d (chunk boundary)", epoch)
-                        stop = True
-                        break
+            if stop:
+                logger.info("early stopping at epoch %d (in-graph)", epochs_run - 1)
 
             if best_row is not None and self._ckpt_mgr:
                 # best_params is tracked in-graph; copy so the async save
                 # never races the next dispatch's donation of the buffer.
-                # Saved under the best epoch's number + metrics (Lightning
-                # ModelCheckpoint semantics), not the chunk end's.
+                # The in-graph best_epoch must agree with the host scan of
+                # the recorded history — a mismatch means label/content
+                # drift, so fail loudly rather than save a mislabeled best.
+                assert int(ctrl_host["best_epoch"]) == best_row[0], (
+                    int(ctrl_host["best_epoch"]),
+                    best_row[0],
+                )
                 self._ckpt_mgr.save_best(
                     best_row[0], jax.tree.map(jnp.copy, best_params), best_row[1]
                 )
@@ -620,9 +729,26 @@ class Trainer:
         ms = jax.device_get(eval_epoch(params, x, jax.random.PRNGKey(self.seed + 1)))
         return {f"{split}/{k}": float(v) for k, v in ms.items()}
 
-    def encode_split(self, dm: ArrayDataModule, params, split: str = "val"):
-        """Posterior means for a split (for latent-space visualization)."""
-        x = jnp.asarray(getattr(dm, f"x_{split}"), jnp.float32)
-        out = self.model.apply({"params": params}, x, method="encode")
-        mu = out[0] if isinstance(out, tuple) else out
+    def encode_split(self, dm: ArrayDataModule, params, split: str = "val",
+                     batch_size: Optional[int] = None):
+        """Posterior means for a split (for latent-space visualization).
+
+        Runs through serve.Inferencer's padded fixed-batch path, so the
+        memory high-water mark is one batch of activations — a 50k-row
+        20k-gene split encodes without materializing a single giant
+        apply. The Inferencer (and its compiled programs) is cached on
+        the Trainer; params are swapped in per call."""
+        x = np.asarray(getattr(dm, f"x_{split}"), np.float32)
+        bs = int(batch_size or dm.batch_size)
+        inf = getattr(self, "_encode_inferencer", None)
+        if inf is None or inf.batch_size != bs:
+            from hyperbolic_vae_tpu.serve import Inferencer
+
+            inf = Inferencer(self.model, params, batch_size=bs, mesh=self.mesh)
+            self._encode_inferencer = inf
+        else:
+            if self.mesh is not None:
+                params = jax.device_put(params, replicated(self.mesh))
+            inf.params = params
+        mu = inf.embed(x)
         return np.asarray(mu), np.asarray(getattr(dm, f"y_{split}"))

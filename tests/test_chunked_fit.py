@@ -5,10 +5,15 @@ The chunked fit path exists because on dispatch-latency-heavy backends
 epochs; scanning K epochs in one compiled program took the flagship from
 1.4M to 3.9M samples/sec on the chip. These tests pin its semantics:
 
-  * K>1 reproduces the K=1 loss history bit-for-bit while the LR is
-    constant (same per-epoch PRNG splits inside the scan),
+  * K>1 reproduces the K=1 loss history bit-for-bit for ANY K — the
+    plateau-LR and early-stopping controllers run IN-GRAPH inside the
+    chunk program with the exact host semantics (f32-aligned), so this
+    holds across LR drops and early stops, not just constant-LR runs,
   * in-graph best-params tracking selects the same best epoch,
-  * early stopping still fires (at chunk granularity),
+  * early stopping fires at the SAME epoch as K=1 (epochs after the stop
+    are cond-skipped in-graph),
+  * the tail chunk is compiled at the trimmed length, so training never
+    runs past max_epochs (final params bit-match K=1),
   * the in-graph eval tail fold matches the host-side fold when
     n_val % batch != 0.
 """
@@ -58,10 +63,74 @@ def test_chunked_matches_unchunked_history(dm):
 
 
 def test_chunked_tail_chunk_trims(dm):
-    # max_epochs not a multiple of K: extra computed epochs must not leak
-    r = _fit(dm, k=4, max_epochs=6)
-    assert r.epochs_run == 6
-    assert len(r.history) == 6
+    """max_epochs not a multiple of K: the tail chunk must be compiled at
+    the trimmed length — final params AND best_params bit-match the K=1
+    run (round-2 advisor finding: the untrimmed chunk trained 8 epochs
+    when max_epochs=6 and leaked 8-epoch params)."""
+    r1 = _fit(dm, k=1, max_epochs=6)
+    r4 = _fit(dm, k=4, max_epochs=6)
+    assert r4.epochs_run == 6
+    assert len(r4.history) == 6
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r4.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(r1.best_params), jax.tree.leaves(r4.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_matches_unchunked_across_lr_drops(dm):
+    """The in-graph ReduceLROnPlateau must drop the LR at the same epoch,
+    to the same f32 value, as the K=1 host controller — histories
+    (including the recorded per-epoch lr) are bit-identical."""
+
+    def fit(k):
+        # lr=0 + patience=0 + min_lr>0: the monitor fluctuates with only
+        # sampling noise, so the first non-improving epoch (deterministic
+        # given the fixed PRNG stream) trips the plateau and CHANGES the
+        # lr (max(0*factor, min_lr) = min_lr) — a guaranteed in-run LR
+        # change, unlike a converging run that may improve every epoch.
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        trainer = Trainer(
+            model, lr=0.0, max_epochs=12, early_stopping_patience=None,
+            plateau_patience=0, plateau_factor=0.5, plateau_min_lr=1e-4,
+            epochs_per_dispatch=k, check_finite=False,
+        )
+        return trainer.fit(dm)
+
+    r1, r3 = fit(1), fit(3)
+    lrs1 = [h["lr"] for h in r1.history]
+    lrs3 = [h["lr"] for h in r3.history]
+    assert lrs1 == lrs3
+    assert len(set(lrs1)) > 1, lrs1  # the run actually exercised an LR change
+    np.testing.assert_allclose(
+        [h["val/loss_total"] for h in r1.history],
+        [h["val/loss_total"] for h in r3.history],
+        rtol=0, atol=0,
+    )
+
+
+def test_chunked_early_stop_same_epoch(dm):
+    """In-graph early stopping fires at the SAME epoch as the K=1 loop
+    (no chunk-granularity lag), and epochs after the stop inside the
+    chunk are skipped — params match the K=1 stop-epoch params."""
+
+    def fit(k):
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        trainer = Trainer(
+            model, lr=0.0, max_epochs=40, early_stopping_patience=2,
+            plateau_patience=1000, epochs_per_dispatch=k, check_finite=False,
+        )
+        return trainer.fit(dm)
+
+    r1, r5 = fit(1), fit(5)
+    assert r1.epochs_run == r5.epochs_run
+    assert len(r1.history) == len(r5.history)
+    np.testing.assert_allclose(
+        [h["val/loss_total"] for h in r1.history],
+        [h["val/loss_total"] for h in r5.history],
+        rtol=0, atol=0,
+    )
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r5.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_chunked_early_stopping_fires(dm):

@@ -42,6 +42,30 @@ def test_gyroplane_vae_trains(tiny_dm, tmp_path):
     assert result.samples_per_sec > 0
 
 
+def test_encode_split_padded_matches_direct(tiny_dm):
+    """encode_split routes through serve.Inferencer's padded fixed-batch
+    path (memory bounded at one batch) and must equal the direct apply;
+    the compiled programs are cached across calls on the Trainer."""
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None,
+                      check_finite=False)
+    result = trainer.fit(tiny_dm)
+    mu, labels = trainer.encode_split(tiny_dm, result.params, "val")
+    direct = model.apply(
+        {"params": result.params},
+        np.asarray(tiny_dm.x_val, np.float32), method="encode",
+    )
+    direct_mu = direct[0] if isinstance(direct, tuple) else direct
+    np.testing.assert_allclose(mu, np.asarray(direct_mu), atol=1e-6)
+    assert labels.shape[0] == mu.shape[0]
+    inf = trainer._encode_inferencer
+    n_before = inf.n_programs
+    mu2, _ = trainer.encode_split(tiny_dm, result.best_params, "val")
+    assert trainer._encode_inferencer is inf  # cached, params swapped in
+    assert inf.n_programs == n_before  # no recompiles on the second call
+    assert np.all(np.isfinite(mu2))
+
+
 def test_trainer_checkpoint_roundtrip(tiny_dm, tmp_path):
     model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
     trainer = Trainer(
