@@ -8,7 +8,10 @@ different from training:
 
   * XLA compiles per input shape — a server must run ONE fixed batch
     shape and pad, or it recompiles (seconds to minutes on a remote
-    relay) on every ragged request.
+    relay) on every ragged request. Multi-batch request sizes are
+    BUCKETED to powers of two up to ``max_batches_per_dispatch``, so an
+    adversarial ragged stream compiles at most log2(cap)+1 programs per
+    method; ``warmup()`` primes the whole bucket set.
   * Dispatch round trips dominate small requests (~25-30 ms each on the
     axon tunnel), so a k-batch request runs as ONE lax.map program —
     sequential per-batch dispatches do not pipeline there. Large
@@ -45,7 +48,8 @@ class Inferencer:
     figures use, vae_euclidean.py:237-303).
     """
 
-    def __init__(self, model, params, batch_size: int = 256, mesh=None):
+    def __init__(self, model, params, batch_size: int = 256, mesh=None,
+                 max_batches_per_dispatch: int = 16):
         self.model = model
         self.batch_size = int(batch_size)
         self.mesh = mesh
@@ -55,6 +59,26 @@ class Inferencer:
             params = jax.device_put(params, replicated(mesh))
         self.params = params  # resident, never donated
         self._compiled = {}
+        # k-batch requests are bucketed to powers of two up to this cap,
+        # so the compile cache holds at most log2(cap)+1 programs per
+        # method no matter how ragged the request stream is (each compile
+        # is seconds-to-minutes through a remote relay). Requests larger
+        # than cap*batch_size run as several full-cap dispatches.
+        assert max_batches_per_dispatch >= 1
+        self.max_batches_per_dispatch = int(max_batches_per_dispatch)
+        self._buckets = []
+        b = 1
+        while b < self.max_batches_per_dispatch:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(self.max_batches_per_dispatch)
+
+    def _bucket(self, k: int) -> int:
+        """Smallest bucket >= k (the caller splits k above the cap)."""
+        for b in self._buckets:
+            if b >= k:
+                return b
+        return self.max_batches_per_dispatch
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, name: str = "best",
@@ -102,30 +126,49 @@ class Inferencer:
             self._compiled[key] = jax.jit(apply_k) if k > 1 else apply
         return self._compiled[key]
 
-    def _run_padded(self, method: str, x: np.ndarray):
-        """Pad N up to k*B (repeating row 0; padded outputs discarded),
-        run the k-batch program, fetch once."""
-        n = x.shape[0]
+    def _dispatch(self, method: str, x: np.ndarray, n_keep: int):
+        """Run one bucketed dispatch: pad the row count up to bucket*B
+        (repeating row 0; padded outputs discarded), run the k-batch
+        program, fetch once, trim to n_keep rows."""
         b = self.batch_size
-        k = max((n + b - 1) // b, 1)
-        pad = k * b - n
+        k = self._bucket(max((x.shape[0] + b - 1) // b, 1))
+        pad = k * b - x.shape[0]
         if pad:
             x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)], 0)
         if k > 1:
             xk = jnp.asarray(x.reshape((k, b) + x.shape[1:]), jnp.float32)
+            if self.mesh is not None:
+                # shard the BATCH axis (axis 1: lax.map iterates axis 0)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = P(None, "data", *([None] * (xk.ndim - 2)))
+                xk = jax.device_put(xk, NamedSharding(self.mesh, spec))
             out = self._fn_k(method, k)(self.params, xk)
-            flat = jax.tree.map(
-                lambda a: np.asarray(a).reshape((k * b,) + a.shape[2:])[:n],
+            return jax.tree.map(
+                lambda a: np.asarray(a).reshape((k * b,) + a.shape[2:])[:n_keep],
                 jax.device_get(out),
             )
-            return flat
         xb = jnp.asarray(x, jnp.float32)
         if self.mesh is not None:
             from hyperbolic_vae_tpu.parallel.mesh import data_sharding
 
             xb = jax.device_put(xb, data_sharding(self.mesh, xb.ndim))
         out = jax.device_get(self._fn(method)(self.params, xb))
-        return jax.tree.map(lambda a: np.asarray(a)[:n], out)
+        return jax.tree.map(lambda a: np.asarray(a)[:n_keep], out)
+
+    def _run_padded(self, method: str, x: np.ndarray):
+        """Serve a request of any size within the bounded program set:
+        full-cap dispatches for the bulk, one bucketed dispatch for the
+        remainder."""
+        n = x.shape[0]
+        cap_rows = self.max_batches_per_dispatch * self.batch_size
+        if n <= cap_rows:
+            return self._dispatch(method, x, n)
+        pieces = []
+        for start in range(0, n, cap_rows):
+            piece = x[start : start + cap_rows]
+            pieces.append(self._dispatch(method, piece, piece.shape[0]))
+        return jax.tree.map(lambda *parts: np.concatenate(parts, axis=0), *pieces)
 
     # ------------------------------------------------------------------ #
 
@@ -145,11 +188,20 @@ class Inferencer:
         out = self.encode(x)
         return out[0] if isinstance(out, (tuple, list)) else out
 
-    def warmup(self, data_shape: Optional[tuple] = None):
+    @property
+    def n_programs(self) -> int:
+        """Number of distinct compiled programs (bounded: at most
+        len(buckets)+1 per method regardless of the request stream)."""
+        return len(self._compiled)
+
+    def warmup(self, data_shape: Optional[tuple] = None,
+               methods: tuple = ("reconstruct", "encode")):
         """Pay every compile before traffic arrives (first TPU compile can
-        take minutes through a remote relay)."""
+        take minutes through a remote relay): primes the FULL bucket set
+        per method, so no request size triggers a compile later."""
         shape = tuple(data_shape or self.model.data_shape)
-        x = np.zeros((self.batch_size,) + shape, np.float32)
-        self.reconstruct(x)
-        self.encode(x)
+        for method in methods:
+            for k in self._buckets:
+                x = np.zeros((k * self.batch_size,) + shape, np.float32)
+                getattr(self, method)(x)
         return self

@@ -66,6 +66,43 @@ def test_decode_endpoint(trained):
     assert np.all(np.isfinite(xh))
 
 
+def test_ragged_stream_bounded_compiles(trained):
+    """An adversarial ragged request stream (every size 1..9 batches plus
+    an over-cap request) must stay within the power-of-two bucket set:
+    distinct compiled programs <= len(buckets) + 1 per method, and every
+    response must match the direct model apply (padding is trimmed)."""
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=16,
+                     max_batches_per_dispatch=8)
+    assert inf._buckets == [1, 2, 4, 8]
+    rng = np.random.default_rng(1)
+    sizes = [1, 15, 16, 17, 33, 47, 64, 65, 100, 128, 129, 144,
+             16 * 8 + 1, 16 * 8 * 2 + 5]  # the last two exceed the cap
+    for n in sizes:
+        x = dm.x_train[:n] if n <= len(dm.x_train) else np.concatenate(
+            [dm.x_train, dm.x_train])[:n]
+        mu = inf.embed(x)
+        assert mu.shape == (n, 2)
+        direct = model.apply({"params": result.best_params}, x, method="encode")
+        direct_mu = direct[0] if isinstance(direct, tuple) else direct
+        np.testing.assert_allclose(mu, np.asarray(direct_mu), atol=1e-6)
+    # "encode" base program + one program per bucket k>1 (k=1 reuses base)
+    assert inf.n_programs <= len(inf._buckets) + 1, inf._compiled.keys()
+
+
+def test_warmup_primes_all_buckets(trained):
+    """After warmup() no request size triggers a new compile."""
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=16,
+                     max_batches_per_dispatch=4)
+    inf.warmup(methods=("encode",))
+    primed = inf.n_programs
+    for n in [1, 17, 40, 64, 65, 200]:
+        x = np.concatenate([dm.x_train] * 2)[:n]
+        inf.embed(x)
+    assert inf.n_programs == primed
+
+
 def test_serve_conv_family(tmp_path):
     """Inferencer is model-agnostic: the conv Euclidean VAE (tuple encode
     output, image decode) serves through the same endpoints."""
