@@ -57,8 +57,9 @@ CELL_TYPES = list(nice_to_weirds) + ["Unknown"]
 
 def normalize_rnaseq(x: np.ndarray, method: str | None) -> np.ndarray:
     """(n_cells, n_genes) float array normalization
-    (reference jerby_arnon.py:97-106)."""
-    if method is None:
+    (reference jerby_arnon.py:97-106). ``None`` / ``"counts"`` is the
+    raw-counts path (what RNASeqVAE(recon='nb') expects)."""
+    if method is None or method == "counts":
         return x
     if method == "sum_to_one":
         return x / np.maximum(x.sum(axis=1, keepdims=True), 1e-12)

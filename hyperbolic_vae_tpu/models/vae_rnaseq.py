@@ -12,7 +12,10 @@ decoder's sigmoid output becomes per-gene trial probs and a learnable
 per-gene log inverse-dispersion replaces the hard-coded 1e6 total_count
 (fixed huge total_count explodes lgamma(k + r) and gives a near-Poisson
 with mean ~1e6*probs — the reason the attempt never worked). Expects
-count-valued inputs (the loader's ``normalize="counts"``/raw path).
+NON-NEGATIVE count-valued inputs: load with
+``rnaseq_normalize_method=None`` (the raw-counts path — the default
+z-score normalization produces negative values, which are invalid under
+an NB likelihood; loss() guards this in-graph via a NaN poison).
 
 The ~20k-gene Dense layers are the one place in this model family with
 real MXU work; the encoder matmul is (B, G) x (G, H) — sharding over a
@@ -46,6 +49,11 @@ class RNASeqVAE(fnn.Module):
     lr: float = 1e-3
     recon: str = "mse"  # "mse" (reference shipped) | "nb" (reference attempted)
     compute_dtype: str = "float32"  # "bfloat16": the (B,G)x(G,H) wide matmuls in bf16
+    # "bfloat16": STORE the two wide kernels (enc (G,H), dec_out (H,G))
+    # in bf16 — halves the per-step HBM stream that bounds the realistic
+    # b256 config (weights + grads + Adam moments are all read+written
+    # every step); optimizer math stays f32 (optim/riemannian_adam.py).
+    param_dtype: str = "float32"
 
     @property
     def ball(self) -> PoincareBall:
@@ -53,7 +61,8 @@ class RNASeqVAE(fnn.Module):
 
     def setup(self):
         dt = jnp.dtype(self.compute_dtype)
-        self.enc = fnn.Dense(self.hidden_dim, name="enc", dtype=dt)
+        pdt = jnp.dtype(self.param_dtype)
+        self.enc = fnn.Dense(self.hidden_dim, name="enc", dtype=dt, param_dtype=pdt)
         self.mu_head = fnn.Dense(self.latent_dim, name="mu")
         self.scale_head = fnn.Dense(self.latent_dim, name="scale")
         self.gyroplanes = PoincareHyperplanes(
@@ -62,7 +71,7 @@ class RNASeqVAE(fnn.Module):
             ball=self.ball,
             name="gyroplanes",
         )
-        self.dec_out = fnn.Dense(self.in_features, name="dec_out", dtype=dt)
+        self.dec_out = fnn.Dense(self.in_features, name="dec_out", dtype=dt, param_dtype=pdt)
         if self.recon == "nb":
             # per-gene log inverse-dispersion theta (scvi-style); init 0 -> theta 1
             self.nb_log_theta = self.param(
@@ -100,6 +109,11 @@ class RNASeqVAE(fnn.Module):
             recon = -jnp.sum(
                 negative_binomial_log_prob(x, theta, logits=logits), axis=-1
             )
+            # NB is a distribution over non-negative counts; z-scored (or
+            # otherwise negative) inputs are a config error. Poison the
+            # loss to NaN so the Trainer's isfinite guard + check_finite
+            # surface it instead of silently optimizing garbage.
+            recon = jnp.where(jnp.any(x < 0, axis=-1), jnp.nan, recon)
         else:
             recon = jnp.sum((x_hat - x) ** 2, axis=-1)  # per-sample sum-MSE
         log_q = wrapped_normal_log_prob(self.ball, mu, scale, z)

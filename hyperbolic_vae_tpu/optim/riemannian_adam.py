@@ -96,6 +96,13 @@ def riemannian_adam(
         labels = manifold_label_tree(params)
 
         def leaf_update(is_manifold, g, p, m, v):
+            # bf16-STORAGE support: leaves may be stored in bf16 (halving
+            # the dominant HBM stream of wide layers — params + grads +
+            # 2 moments read/written every step) while ALL optimizer
+            # arithmetic stays f32; results are cast back to the stored
+            # dtype on the way out. No-op for f32 leaves.
+            stored = p.dtype
+            g, p, m, v = (x.astype(jnp.float32) for x in (g, p, m, v))
             if weight_decay:
                 g = g + weight_decay * p
             if is_manifold:
@@ -107,11 +114,15 @@ def riemannian_adam(
                 new_p = ball.project(new_p)
                 # "update" = new point minus old (apply adds it back);
                 # exact because apply_updates does p + (new_p - p).
-                return new_p - p, transported_m, new_v
+                return (
+                    (new_p - p).astype(stored),
+                    transported_m.astype(stored),
+                    new_v.astype(stored),
+                )
             new_m = b1 * m + (1.0 - b1) * g
             new_v = b2 * v + (1.0 - b2) * g * g
             update = -lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
-            return update, new_m, new_v
+            return update.astype(stored), new_m.astype(stored), new_v.astype(stored)
 
         # tree.map over 5 aligned trees; labels is a prefix-compatible tree
         flat_updates = jax.tree.map(leaf_update, labels, grads, params, state.exp_avg, state.exp_avg_sq)

@@ -97,3 +97,20 @@ def test_rnaseq_vae_invalid_recon_rejected():
     model = RNASeqVAE(in_features=50, hidden_dim=8, latent_dim=2, recon="poisson")
     with pytest.raises(ValueError):
         model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+
+
+def test_nb_recon_poisons_on_negative_inputs():
+    """recon='nb' on negative (e.g. z-scored) inputs is a config error:
+    the loss must go NaN so the Trainer's guards surface it, instead of
+    silently optimizing an invalid likelihood."""
+    model = RNASeqVAE(in_features=50, hidden_dim=8, latent_dim=2, recon="nb")
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    x_counts = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (4, 50))) * 5
+    params = model.init(rngs, x_counts)["params"]
+    m_ok = model.apply({"params": params}, x_counts, method="loss",
+                       rngs={"sample": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(m_ok["loss_total"]))
+    x_z = x_counts - 3.0  # z-score-like: some negatives
+    m_bad = model.apply({"params": params}, x_z, method="loss",
+                        rngs={"sample": jax.random.PRNGKey(3)})
+    assert np.isnan(float(m_bad["loss_total"]))

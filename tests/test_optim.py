@@ -159,3 +159,59 @@ def test_torch_baseline_stays_on_faithful_chart():
     assert torch.isfinite(final)
     # the pre-fix failure mode was loss < -1e5 within a few epochs
     assert float(final) > -1e4
+
+
+def test_bf16_storage_leaves_update_in_f32():
+    """bf16-STORED leaves (HBM-halving for the wide RNA-seq kernels):
+    moments/updates must compute in f32 and cast back — dtypes preserved,
+    values finite, and a same-value f32 run must agree to bf16 precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperbolic_vae_tpu.optim import riemannian_adam
+
+    tx = riemannian_adam(1e-2)
+    g32 = jnp.linspace(-1, 1, 8, dtype=jnp.float32)
+    p32 = jnp.linspace(0.5, 1.5, 8, dtype=jnp.float32)
+    params = {"w16": p32.astype(jnp.bfloat16), "w32": p32}
+    grads = {"w16": g32.astype(jnp.bfloat16), "w32": g32}
+    state = tx.init(params)
+    assert state.exp_avg["w16"].dtype == jnp.bfloat16
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    assert params["w16"].dtype == jnp.bfloat16
+    assert state.exp_avg_sq["w16"].dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(params["w16"], np.float32)))
+    # bf16 arm tracks the f32 arm within bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(params["w16"], np.float32), np.asarray(params["w32"]),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_rnaseq_bf16_param_storage_trains():
+    """RNASeqVAE(param_dtype='bfloat16'): wide kernels stored bf16, one
+    Trainer epoch stays finite and the loss decreases."""
+    import numpy as np
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+    from hyperbolic_vae_tpu.models import RNASeqVAE
+    from hyperbolic_vae_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (256, 512)).astype(np.float32)
+    y = np.zeros(256, np.int32)
+    dm = ArrayDataModule(x_train=x, y_train=y, x_val=x[:64], y_val=y[:64],
+                         x_test=x[:64], y_test=y[:64], batch_size=64)
+    model = RNASeqVAE(in_features=512, hidden_dim=32, latent_dim=2,
+                      param_dtype="bfloat16")
+    trainer = Trainer(model, max_epochs=4, early_stopping_patience=None,
+                      check_finite=False)
+    r = trainer.fit(dm)
+    import jax.numpy as jnp
+
+    assert r.params["enc"]["kernel"].dtype == jnp.bfloat16
+    losses = [h["train/loss_total"] for h in r.history]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
