@@ -53,8 +53,16 @@ def _log_gauss_tail_term(t: jax.Array) -> jax.Array:
     return jnp.where(t >= -4.0, direct, asym)
 
 
-def log_radius_normalizer(sigma: jax.Array, c: float, dim: int) -> jax.Array:
-    """log Z_r(sigma) = log Integral_0^inf exp(-r^2/2s^2) (sinh(sqrt c r)/sqrt c)^{d-1} dr."""
+def log_radius_normalizer_closed_form(sigma: jax.Array, c: float, dim: int) -> jax.Array:
+    """Closed-form log Z_r via the binomial expansion of sinh^{d-1}.
+
+    KEPT FOR CROSS-VALIDATION ONLY (tests): the alternating binomial sum
+    cancels catastrophically in f32 at isolated (sigma, dim) points — the
+    VALUE survives (signed logsumexp) but the GRADIENT divides by the
+    cancelled sum and goes NaN (at d=10 this poisoned every training step
+    of the pvae replication grid's riemannian d10 cells). Production code
+    uses the quadrature form below.
+    """
     n = dim - 1
     if n == 0:
         # half-Gaussian integral
@@ -78,6 +86,34 @@ def log_radius_normalizer(sigma: jax.Array, c: float, dim: int) -> jax.Array:
     # The alternating sum is mathematically positive; sgn==1 on valid inputs.
     const = -n * math.log(2.0) - n * math.log(sqrt_c)
     return const + log_sum
+
+
+def log_radius_normalizer(sigma: jax.Array, c: float, dim: int) -> jax.Array:
+    """log Z_r(sigma) = log Integral_0^inf exp(-r^2/2s^2) (sinh(sqrt c r)/sqrt c)^{d-1} dr.
+
+    Computed by trapezoid quadrature on the SAME sigma-adaptive grid the
+    inverse-CDF sampler uses (grid covers the density mode + 8 sigma;
+    tail mass beyond is negligible at f32). Unlike the closed form
+    (above), the quadrature is smooth in sigma — values AND gradients are
+    finite for every (sigma, dim), and log_prob's normalization is
+    discretization-consistent with the sampler. Relative error vs the
+    stable region of the closed form is <1e-5 at 512 points.
+    """
+    n = dim - 1
+    if n == 0:
+        # half-Gaussian integral
+        return jnp.log(sigma) + 0.5 * math.log(math.pi / 2.0)
+    sigma = jnp.asarray(sigma, dtype=jnp.float32)
+    r_max = n * math.sqrt(c) * sigma * sigma + 8.0 * sigma + 1e-2
+    grid = jnp.linspace(0.0, 1.0, _GRID_SIZE, dtype=jnp.float32)
+    r_grid = r_max[..., None] * grid  # (..., G)
+    logp = _log_radius_density_unnorm(r_grid, sigma[..., None], c, dim)
+    # trapezoid weights in log space
+    log_w = jnp.zeros((_GRID_SIZE,), jnp.float32).at[0].set(-math.log(2.0)).at[-1].set(
+        -math.log(2.0)
+    )
+    dr = r_max / (_GRID_SIZE - 1)
+    return logsumexp(logp + log_w, axis=-1) + jnp.log(dr)
 
 
 def log_sphere_area(dim: int) -> float:

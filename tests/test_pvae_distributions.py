@@ -179,3 +179,64 @@ def test_riemannian_normal_grad_estimator_unbiased_vs_population():
     grads = [float(jax.grad(mc)(0.8, jax.random.PRNGKey(k))) for k in range(8)]
     g_mc = float(np.mean(grads))
     assert abs(g_mc - g_pop) < 0.08 * max(1.0, abs(g_pop)), (g_mc, g_pop)
+
+
+# ---------------- radius normalizer stability (round-3 regression) ----------
+
+
+def test_radius_normalizer_quadrature_matches_closed_form_where_stable():
+    """The production quadrature normalizer equals the closed form in its
+    stable region (d<=5); at d=10 the closed form itself cancels in f32
+    (verified against a float64 reference), so only quadrature is used."""
+    from hyperbolic_vae_tpu.distributions.riemannian_normal import (
+        log_radius_normalizer, log_radius_normalizer_closed_form)
+
+    for dim in (2, 3, 5):
+        sig = jnp.asarray(np.linspace(0.1, 7.0, 500), jnp.float32)
+        q = log_radius_normalizer(sig, 1.0, dim)
+        cf = log_radius_normalizer_closed_form(sig, 1.0, dim)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(cf), rtol=1e-4, atol=1e-4)
+
+
+def test_radius_normalizer_gradients_finite_high_dim():
+    """Round-3 bug: the alternating-binomial closed form had NaN
+    GRADIENTS at isolated sigma (0.588, 0.753, 1.047, ~5.25 at d=10 c=1)
+    from f32 cancellation — every training step of the riemannian d=10
+    pvae grid cells was skipped by the non-finite guard. The quadrature
+    form must be grad-finite on a dense sweep and match finite
+    differences."""
+    from hyperbolic_vae_tpu.distributions.riemannian_normal import log_radius_normalizer
+
+    for dim in (2, 5, 10, 20):
+        sig = jnp.asarray(np.linspace(0.1, 7.0, 2000), jnp.float32)
+        g = jax.grad(lambda s: jnp.sum(log_radius_normalizer(s, 1.0, dim)))(sig)
+        assert bool(jnp.all(jnp.isfinite(g))), f"NaN grad at dim={dim}"
+    for s0 in (0.588, 1.047, 5.247):  # the poison sigmas at d=10
+        f = lambda s: float(log_radius_normalizer(jnp.asarray([s], jnp.float32), 1.0, 10)[0])
+        h = 1e-3
+        fd = (f(s0 + h) - f(s0 - h)) / (2 * h)
+        an = float(jax.grad(
+            lambda s: log_radius_normalizer(s, 1.0, 10).sum()
+        )(jnp.asarray([s0], jnp.float32))[0])
+        assert abs(fd - an) / max(abs(fd), 1.0) < 1e-3, (s0, fd, an)
+
+
+def test_pvae_riemannian_d10_grads_finite():
+    """End-to-end regression: the d=10 riemannian PvaeMLPVAE must produce
+    finite loss gradients (it silently skipped 100% of steps before)."""
+    from hyperbolic_vae_tpu.models import PvaeMLPVAE
+
+    model = PvaeMLPVAE(data_shape=(28, 28, 1), latent_dim=10,
+                       manifold_curvature=1.0, posterior="riemannian")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (8, 28, 28, 1)), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )["params"]
+
+    def loss(p):
+        return model.apply({"params": p}, x, method="loss",
+                           rngs={"sample": jax.random.PRNGKey(2)})["loss_total"]
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

@@ -122,6 +122,24 @@ def test_resume_from_state(tiny_dm, tmp_path):
     assert np.isfinite(r2.history[-1]["train/loss_total"])
 
 
+def test_resume_from_state_chunked(tiny_dm, tmp_path):
+    """Chunked-path resume: the in-graph controller state is seeded from
+    the restored host mirrors, the epoch counter picks up at the right
+    place, and the remaining epochs run through trimmed chunks."""
+    model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(model, max_epochs=4, early_stopping_patience=None,
+                 epochs_per_dispatch=2, checkpoint_dir=ckpt)
+    r1 = t1.fit(tiny_dm)
+    assert r1.epochs_run == 4
+    t2 = Trainer(model, max_epochs=7, early_stopping_patience=None,
+                 epochs_per_dispatch=2, checkpoint_dir=ckpt)
+    r2 = t2.fit(tiny_dm, resume=True)
+    epochs = [h["epoch"] for h in r2.history]
+    assert epochs == [4, 5, 6], epochs  # chunk of 2 + trimmed chunk of 1
+    assert np.isfinite(r2.history[-1]["train/loss_total"])
+
+
 def test_block_shuffle_trains(tiny_dm):
     """Block-shuffle input pipeline converges like row shuffle."""
     model = GyroplaneVAE(data_shape=tiny_dm.input_shape, latent_dim=2)
