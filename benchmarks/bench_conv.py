@@ -69,12 +69,13 @@ def flops_per_sample_fwd(layers) -> int:
     return sum(2 * h * w * co * ci * k for h, w, co, ci, k in layers)
 
 
-def xla_flops_per_epoch(jitted, *args):
-    """XLA's own cost analysis of the compiled epoch program (total
-    flops, incl. VPU elementwise work). None if the backend doesn't
-    expose it."""
+def xla_flops_of_compiled(compiled):
+    """XLA's own cost analysis of an already-compiled epoch program
+    (total flops, incl. VPU elementwise work). None if the backend
+    doesn't expose it. Takes the AOT-compiled object so the analysis
+    does NOT trigger a second multi-minute relay compile."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost["flops"])
@@ -93,13 +94,18 @@ def bench_model(model, fwd_flops_per_sample, x, batch, n_val=512, warmup=2, iter
     params = trainer.init_params(x[:batch])
     opt_state = trainer._optimizer.init(params)
     xd = jnp.asarray(x)
-    train_epoch, _ = trainer._build_epoch_fns(len(x), batch, n_val)
+    train_epoch_jit, _ = trainer._build_epoch_fns(len(x), batch, n_val)
     key = jax.random.PRNGKey(0)
+    # AOT-compile ONCE and drive the compiled object directly — the jit
+    # wrapper would be fine too, but the AOT handle also gives us
+    # cost_analysis without a second compile through the relay
+    key, k0 = jax.random.split(key)
+    train_epoch = train_epoch_jit.lower(params, opt_state, xd, k0).compile()
+    xla_flops = xla_flops_of_compiled(train_epoch)
     for _ in range(warmup):
         key, k = jax.random.split(key)
         params, opt_state, ms = train_epoch(params, opt_state, xd, k)
         float(ms["loss_total"])  # axon: block_until_ready returns at enqueue
-    xla_flops = xla_flops_per_epoch(train_epoch, params, opt_state, xd, key)
     times = []
     for _ in range(iters):
         key, k = jax.random.split(key)
