@@ -8,10 +8,14 @@ cost-analysis FLOP count when the backend exposes one, and percent of
 the MEASURED device matmul peak (calibrate_device_peak), plus a batch
 sweep so the roofline argument is backed by data.
 
-FLOP model: per conv/conv-transpose layer, fwd = 2 * B*Hout*Wout*Cout *
-(kh*kw*Cin) MACs-as-flops; training approx 3x fwd (fwd + 2 bwd matmuls).
-Dense heads and manifold math are counted where they are non-trivial
-(the gyroplane layer is O(B*planes*latent) - negligible next to convs).
+FLOP model: per conv layer, fwd = 2 * B*Hout*Wout*Cout * (taps*Cin)
+MACs-as-flops (taps = 9 for 3x3 convs, 9/4 for 3x3 stride-2 conv
+transposes); training approx 3x fwd (fwd + 2 bwd matmuls). Dense heads
+and manifold math are counted where they are non-trivial (the gyroplane
+layer is O(B*planes*latent) - negligible next to convs). The analytic
+count is validated against the torch-CPU baseline's throughput; XLA's
+cost_analysis() on the axon backend under-reports flops ~35x (recorded
+for reference but NOT used for the %-of-peak numbers).
 
 vs_baseline: torch-CPU per-step conv baseline (benchmarks/
 torch_conv_baseline.py, cached in BASELINE_TORCH_CONV.json) - the same
@@ -36,20 +40,29 @@ if str(REPO_ROOT) not in sys.path:
 CONV_BASELINE_FILE = REPO_ROOT / "BASELINE_TORCH_CONV.json"
 
 
+# taps per output element: a 3x3 conv (any stride) applies 9 kernel taps
+# per OUTPUT pixel; a 3x3 stride-2 ConvTranspose scatters each INPUT
+# pixel into 9 outputs, i.e. each of the 4x-larger output grid receives
+# 9/4 = 2.25 taps on average — counting 9 there overstates ConvT FLOPs
+# 4x (enough to push "achieved TFLOPs" past the device peak).
+K_CONV = 9.0
+K_CONVT_S2 = 9.0 / 4.0
+
+
 def euclidean_vae_layers(hidden: int, shape=(32, 32, 3)):
-    """(h_out, w_out, c_out, c_in, kh*kw) per conv/convT layer
+    """(h_out, w_out, c_out, c_in, taps) per conv/convT layer
     (models/vae_euclidean.py ConvEncoder/ConvDecoder)."""
     H, W, C = shape
     c = hidden
     return [
         # encoder
-        (H // 2, W // 2, c, C, 9), (H // 2, W // 2, c, c, 9),
-        (H // 4, W // 4, 2 * c, c, 9), (H // 4, W // 4, 2 * c, 2 * c, 9),
-        (H // 8, W // 8, 2 * c, 2 * c, 9),
+        (H // 2, W // 2, c, C, K_CONV), (H // 2, W // 2, c, c, K_CONV),
+        (H // 4, W // 4, 2 * c, c, K_CONV), (H // 4, W // 4, 2 * c, 2 * c, K_CONV),
+        (H // 8, W // 8, 2 * c, 2 * c, K_CONV),
         # decoder
-        (H // 4, W // 4, 2 * c, 2 * c, 9), (H // 4, W // 4, 2 * c, 2 * c, 9),
-        (H // 2, W // 2, c, 2 * c, 9), (H // 2, W // 2, c, c, 9),
-        (H, W, C, c, 9),
+        (H // 4, W // 4, 2 * c, 2 * c, K_CONVT_S2), (H // 4, W // 4, 2 * c, 2 * c, K_CONV),
+        (H // 2, W // 2, c, 2 * c, K_CONVT_S2), (H // 2, W // 2, c, c, K_CONV),
+        (H, W, C, c, K_CONVT_S2),
     ]
 
 
@@ -57,16 +70,16 @@ def hyperbolic_image_vae_layers(shape=(32, 32, 3)):
     """models/vae_hyperbolic.py conv stack (fixed 16/32 channels)."""
     H, W, C = shape
     return [
-        (H // 2, W // 2, 16, C, 9), (H // 4, W // 4, 32, 16, 9),
-        (H // 8, W // 8, 32, 32, 9),
-        (H // 4, W // 4, 32, 32, 9), (H // 4, W // 4, 32, 32, 9),
-        (H // 2, W // 2, 16, 32, 9), (H // 2, W // 2, 16, 16, 9),
-        (H, W, C, 16, 9),
+        (H // 2, W // 2, 16, C, K_CONV), (H // 4, W // 4, 32, 16, K_CONV),
+        (H // 8, W // 8, 32, 32, K_CONV),
+        (H // 4, W // 4, 32, 32, K_CONVT_S2), (H // 4, W // 4, 32, 32, K_CONV),
+        (H // 2, W // 2, 16, 32, K_CONVT_S2), (H // 2, W // 2, 16, 16, K_CONV),
+        (H, W, C, 16, K_CONVT_S2),
     ]
 
 
 def flops_per_sample_fwd(layers) -> int:
-    return sum(2 * h * w * co * ci * k for h, w, co, ci, k in layers)
+    return int(sum(2 * h * w * co * ci * k for h, w, co, ci, k in layers))
 
 
 def xla_flops_of_compiled(compiled):
