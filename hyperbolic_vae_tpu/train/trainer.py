@@ -126,9 +126,15 @@ class Trainer:
 
         ball = getattr(model, "ball", None) or PoincareBall(c=1.0)
         # only learning_rate is injected (mutable without recompile);
-        # everything else must stay a static Python value
+        # everything else must stay a static Python value.
+        # hyperparam_dtype pinned to f32: with bf16-stored params optax
+        # would otherwise store learning_rate in bf16 (quantizing LR
+        # values and breaking dtype agreement between the chunk
+        # program's cond branches).
         self._optimizer = optax.inject_hyperparams(
-            riemannian_adam, static_args=("ball", "b1", "b2", "eps", "weight_decay")
+            riemannian_adam,
+            static_args=("ball", "b1", "b2", "eps", "weight_decay"),
+            hyperparam_dtype=jnp.float32,
         )(learning_rate=self.lr, ball=ball)
 
         self._plateau_cfg = dict(
