@@ -1,0 +1,109 @@
+"""Multi-seed sweep throughput: vmapped ensemble vs sequential fits.
+
+The reference's sweep workloads (8-seed parity, the 24-config grid of
+/root/reference/scripts/_7_train_vae_hyperbolic_mnist_grid.py, the pvae
+replication protocol of _9) train seeds strictly sequentially. The
+flagship's matmuls are far below MXU saturation at batch 256, so
+``Trainer.fit_ensemble`` (train/ensemble.py) trains all S seeds in one
+vmapped program — per-seed results bit-identical to sequential fits
+(tests/test_ensemble.py) — and this benchmark measures what that buys
+on the chip.
+
+Protocol: flagship GyroplaneVAE on the parity-config synthetic MNIST
+(12,800 x 784, batch 256), E epochs at K epochs/dispatch, no early stop.
+Both arms time POST-COMPILE work only. Writes benchmarks/BENCH_ENSEMBLE.json.
+
+Usage: python benchmarks/bench_ensemble.py [--seeds 8] [--epochs 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs-per-dispatch", type=int, default=10)
+    ap.add_argument("--n-train", type=int, default=12800)
+    ap.add_argument("--n-val", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=256)
+    args = ap.parse_args()
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+    from hyperbolic_vae_tpu.data.mnist import synthetic_mnist_arrays
+    from hyperbolic_vae_tpu.models import GyroplaneVAE
+    from hyperbolic_vae_tpu.train import Trainer
+
+    x_train, _, x_val, _ = synthetic_mnist_arrays(args.n_train, args.n_val)
+    dm = ArrayDataModule(
+        x_train=x_train, y_train=np.zeros(len(x_train), np.int32),
+        x_val=x_val, y_val=np.zeros(len(x_val), np.int32),
+        x_test=x_val, y_test=np.zeros(len(x_val), np.int32),
+        batch_size=args.batch_size,
+    )
+    model = GyroplaneVAE(data_shape=x_train.shape[1:], latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=args.epochs, early_stopping_patience=None,
+        plateau_patience=10**6, check_finite=False,
+        epochs_per_dispatch=args.epochs_per_dispatch,
+    )
+    seeds = list(range(args.seeds))
+    steps = args.n_train // args.batch_size
+    epoch_samples = steps * args.batch_size
+
+    # sequential arm: seed 0 compiles the chunk program; later seeds run
+    # from XLA's cache (the same steady-state protocol as parity.py)
+    trainer.seed = seeds[0]
+    trainer.fit(dm)  # compile
+    t0 = time.perf_counter()
+    seq_best = []
+    for s in seeds:
+        trainer.seed = s
+        seq_best.append(trainer.fit(dm).best_metric)
+    t_seq = time.perf_counter() - t0
+
+    # ensemble arm: first call compiles the vmapped program, second is timed
+    trainer.fit_ensemble(dm, seeds)  # compile
+    t0 = time.perf_counter()
+    ens = trainer.fit_ensemble(dm, seeds)
+    t_ens = time.perf_counter() - t0
+    ens_best = [r.best_metric for r in ens]
+
+    # on CPU the two arms are bit-identical (tests/test_ensemble.py); on
+    # TPU the vmapped (batched) matmuls accumulate in a different MXU
+    # order than the unbatched ones, and that f32 reduction-order drift
+    # compounds through training — same class as the dp4xtp2 dryrun's
+    # ~2e-3 rel history drift (__graft_entry__.py)
+    for sb, eb in zip(seq_best, ens_best):
+        assert np.isclose(sb, eb, rtol=5e-3), (seq_best, ens_best)
+
+    total = args.seeds * args.epochs * epoch_samples
+    out = {
+        "config": vars(args),
+        "sequential_seconds": t_seq,
+        "ensemble_seconds": t_ens,
+        "speedup": t_seq / t_ens,
+        "sequential_samples_per_sec": total / t_seq,
+        "ensemble_samples_per_sec": total / t_ens,
+        "best_val_per_seed": ens_best,
+    }
+    (REPO_ROOT / "benchmarks" / "BENCH_ENSEMBLE.json").write_text(
+        json.dumps(out, indent=2)
+    )
+    print(json.dumps({k: v for k, v in out.items() if not isinstance(v, (list, dict))}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Multi-seed ensemble training: S independent models in ONE program.
+
+The reference's real workloads are seed sweeps — the 8-seed parity
+protocol, the 24-config grid (/root/reference/scripts/_7_train_vae_hyperbolic_mnist_grid.py),
+the pvae replication study (_9) — and it runs them strictly sequentially
+(one Lightning fit per seed). On TPU that leaves the MXU mostly idle for
+small models: the flagship's 256x784 matmuls are far below the systolic
+array's saturation point, so S seeds can ride along almost for free.
+
+This module trains all S seeds SIMULTANEOUSLY by ``jax.vmap``-ing the
+Trainer's K-epochs-per-dispatch chunk body (trainer.py:_chunk_fn) over a
+leading seed axis:
+
+  * params / opt state / best-params / controller state are stacked
+    (S, ...) pytrees; the train/val arrays are shared (in_axes=None).
+  * Each seed follows its OWN per-seed RNG stream — byte-for-byte the
+    key path of a sequential ``fit(seed=s)`` — so per-seed histories
+    match sequential runs (tests/test_ensemble.py pins this).
+  * The in-graph plateau-LR / early-stopping controllers are per-lane
+    scalars, so every seed drops its LR and stops on its own schedule,
+    inside the compiled program.
+  * The host loop dispatches chunks until EVERY lane has stopped (or
+    max_epochs). Under vmap, ``lax.cond`` lowers to a select that
+    evaluates both branches, so lanes that stopped early still occupy
+    their slice of each remaining dispatch — the wasted work is bounded
+    by the straggler seed, which is exactly the sequential worst case.
+
+Not supported here (use sequential ``fit``): checkpointing, callbacks,
+resume, and meshes (an ensemble is a single-device batching transform;
+for multi-chip sweeps shard the SEED axis across a mesh instead — one
+ensemble per device group).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperbolic_vae_tpu.data.core import ArrayDataModule
+from hyperbolic_vae_tpu.optim import EarlyStopping, ReduceLROnPlateau
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _lane(tree, s):
+    return jax.tree.map(lambda a: a[s], tree)
+
+
+def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int, n_seeds: int):
+    """jit(vmap(chunk body)) over the seed axis, cached on the trainer."""
+    cache = getattr(trainer, "_ens_fn_cache", None)
+    if cache is None:
+        cache = trainer._ens_fn_cache = {}
+    key = (n_train, batch_size, n_val, k, n_seeds)
+    if key not in cache:
+        trainer._chunk_fn(n_train, batch_size, n_val, k)  # fills the body cache
+        body = trainer._chunk_body_cache[(n_train, batch_size, n_val, k)]
+        cache[key] = jax.jit(
+            jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0)),
+            donate_argnums=(0, 1, 2),
+        )
+    return cache[key]
+
+
+def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
+                 epochs_per_dispatch: Optional[int] = None) -> list:
+    """Train ``len(seeds)`` independent models at once; returns one
+    ``TrainResult`` per seed (same order), each equivalent to a
+    sequential ``trainer.fit`` with that seed.
+
+    ``samples_per_sec`` on every result is the AGGREGATE post-compile
+    chip throughput of the ensemble (useful training samples across all
+    live seeds per wall second) — the number a sweep user cares about.
+    """
+    from hyperbolic_vae_tpu.train.trainer import TrainResult
+
+    if trainer.mesh is not None:
+        raise ValueError("fit_ensemble is single-device; it does not compose with a mesh")
+    if trainer._ckpt_mgr is not None or trainer.callbacks:
+        raise ValueError("fit_ensemble does not support checkpointing or callbacks")
+    if not trainer.monitor.startswith("val/"):
+        raise ValueError(f"fit_ensemble requires a val/ monitor, got {trainer.monitor}")
+    seeds = list(seeds)
+    n_seeds = len(seeds)
+    assert n_seeds >= 1
+    k = int(epochs_per_dispatch or max(trainer.epochs_per_dispatch, 1))
+
+    # fresh host controller mirrors, as fit() does (they are not consulted
+    # during the ensemble — the in-graph controllers rule — but leaving
+    # stale state would surprise a later sequential fit)
+    trainer.plateau = ReduceLROnPlateau(**trainer._plateau_cfg)
+    if trainer._early_patience:
+        trainer.early_stopping = EarlyStopping(patience=trainer._early_patience)
+
+    # per-seed init, replicating fit()'s exact key path: PRNGKey(seed) ->
+    # (carry key, init key); the carry key then drives shuffle + sampling
+    params_l, opt_l, key_l = [], [], []
+    for s in seeds:
+        key = jax.random.PRNGKey(s)
+        key, init_key = jax.random.split(key)
+        p = trainer.init_params(dm.x_train, init_key)
+        params_l.append(p)
+        opt_l.append(trainer._optimizer.init(p))
+        key_l.append(key)
+    params = _stack(params_l)
+    opt_state = _stack(opt_l)
+    keys = jnp.stack(key_l)
+    ctrl = _stack([trainer._init_ctrl() for _ in seeds])
+    best_params = jax.tree.map(jnp.copy, params)
+
+    x_train = trainer._stage(dm.x_train)
+    x_val = trainer._stage(dm.x_val)
+    n_train = int(dm.x_train.shape[0])
+    n_val = int(dm.x_val.shape[0])
+    steps = n_train // dm.batch_size
+    samples_per_epoch = steps * dm.batch_size
+
+    histories = [[] for _ in seeds]
+    best_metric = [float("inf")] * n_seeds
+    epochs_run = [0] * n_seeds
+    total_samples = 0
+    t_start = None
+
+    for chunk_start in range(0, trainer.max_epochs, k):
+        k_eff = min(k, trainer.max_epochs - chunk_start)
+        ens_fn = _ens_chunk_fn(trainer, n_train, dm.batch_size, n_val, k_eff, n_seeds)
+        params, opt_state, best_params, ctrl, keys, tms, vms, lrs = ens_fn(
+            params, opt_state, best_params, ctrl, x_train, x_val, keys
+        )
+        tms, vms, lrs, ctrl_host = jax.device_get((tms, vms, lrs, ctrl))
+        first_chunk = t_start is None
+        if first_chunk:
+            t_start = time.perf_counter()  # exclude the compile chunk
+        for s in range(n_seeds):
+            epochs_this = int(ctrl_host["epoch"][s]) - epochs_run[s]
+            if not first_chunk:
+                total_samples += samples_per_epoch * epochs_this
+            for i in range(epochs_this):
+                epoch = epochs_run[s] + i
+                metrics = {f"train/{m}": float(v[s][i]) for m, v in tms.items()}
+                metrics.update({f"val/{m}": float(v[s][i]) for m, v in vms.items()})
+                metrics.update(lr=float(lrs[s][i]), epoch=epoch)
+                histories[s].append(metrics)
+                monitored = metrics.get(trainer.monitor)
+                if monitored is not None and np.isfinite(monitored):
+                    best_metric[s] = min(best_metric[s], monitored)
+            epochs_run[s] += epochs_this
+        if all(bool(b) for b in ctrl_host["stopped"]):
+            break
+
+    elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
+    agg_sps = total_samples / elapsed if total_samples else 0.0
+
+    results = []
+    for s in range(n_seeds):
+        # label/content consistency: the in-graph best tracking must agree
+        # with the host scan of the recorded history (as _fit_chunked asserts)
+        ig_best = float(ctrl_host["best_val"][s])
+        if np.isfinite(best_metric[s]) or np.isfinite(ig_best):
+            assert np.isclose(ig_best, best_metric[s], rtol=0, atol=0), (
+                s, ig_best, best_metric[s],
+            )
+        results.append(
+            TrainResult(
+                params=_lane(params, s),
+                best_params=_lane(best_params, s),
+                history=histories[s],
+                best_metric=best_metric[s],
+                epochs_run=epochs_run[s],
+                samples_per_sec=agg_sps,
+            )
+        )
+    return results

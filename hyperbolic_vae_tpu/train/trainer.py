@@ -155,6 +155,7 @@ class Trainer:
         self._epoch_fns_cache = {}
         self._body_fns_cache = {}  # unjitted bodies (filled by _build_epoch_fns)
         self._chunk_fn_cache = {}
+        self._chunk_body_cache = {}  # unjitted chunk bodies (for vmapped ensembles)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.metric_logger = MetricLogger(log_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -436,6 +437,9 @@ class Trainer:
             return carry + ys
 
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
+        # the UNJITTED body is reused by train/ensemble.py, which vmaps it
+        # over a leading seed axis (multi-seed training in one program)
+        self._chunk_body_cache[cache_key] = chunk
         self._chunk_fn_cache[cache_key] = fn
         return fn
 
@@ -723,6 +727,16 @@ class Trainer:
             epochs_run=epochs_run,
             samples_per_sec=sps,
         )
+
+    def fit_ensemble(self, dm: ArrayDataModule, seeds: Sequence[int],
+                     epochs_per_dispatch: Optional[int] = None) -> list:
+        """Train one independent model PER SEED simultaneously: the chunk
+        program vmapped over a leading seed axis (see train/ensemble.py).
+        Returns a list of TrainResult, one per seed, each matching what a
+        sequential ``fit`` with that seed produces."""
+        from hyperbolic_vae_tpu.train.ensemble import fit_ensemble
+
+        return fit_ensemble(self, dm, seeds, epochs_per_dispatch)
 
     # ------------------------------------------------------------------ #
 

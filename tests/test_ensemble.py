@@ -1,0 +1,92 @@
+"""fit_ensemble (vmapped multi-seed training) correctness.
+
+The ensemble path trains S independent seeds in ONE compiled program
+(train/ensemble.py). Its contract: every per-seed result is EXACTLY what
+a sequential ``fit(seed=s)`` produces — same per-epoch metric history,
+same LR schedule, same early-stop epoch, same best metric — because each
+lane carries its own RNG stream (fit()'s exact key path) and its own
+in-graph controller state.
+"""
+
+import numpy as np
+import pytest
+
+from hyperbolic_vae_tpu.data.mnist import make_data_module
+from hyperbolic_vae_tpu.models import GyroplaneVAE
+from hyperbolic_vae_tpu.train import Trainer
+
+SEEDS = [42, 7, 3]
+
+
+@pytest.fixture(scope="module")
+def dm():
+    # n_test=96 with batch 64 exercises the eval tail fold in-lane too
+    return make_data_module(batch_size=64, synthetic=True, n_train=320, n_test=96)
+
+
+def _histories(result):
+    return (
+        [h["val/loss_total"] for h in result.history],
+        [h["train/loss_total"] for h in result.history],
+        [h["lr"] for h in result.history],
+    )
+
+
+def test_ensemble_matches_sequential(dm):
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=7, early_stopping_patience=4, plateau_patience=2,
+        epochs_per_dispatch=3, check_finite=False,
+    )
+    seq = []
+    for s in SEEDS:
+        trainer.seed = s
+        seq.append(trainer.fit(dm))
+    ens = trainer.fit_ensemble(dm, SEEDS)
+    assert len(ens) == len(SEEDS)
+    for a, b in zip(seq, ens):
+        va, ta, la = _histories(a)
+        vb, tb, lb = _histories(b)
+        assert len(va) == len(vb)
+        np.testing.assert_allclose(va, vb, rtol=0, atol=0)  # bit-identical
+        np.testing.assert_allclose(ta, tb, rtol=0, atol=0)
+        assert la == lb  # per-seed in-graph LR schedule
+        assert a.best_metric == b.best_metric
+        # final + best params match the sequential run
+        import jax
+
+        for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
+        for pa, pb in zip(jax.tree.leaves(a.best_params), jax.tree.leaves(b.best_params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_ensemble_per_seed_early_stop(dm):
+    """lr=0: the monitor fluctuates only via the eval sampling RNG, so
+    patience-2 early stopping fires deterministically — at a DIFFERENT
+    epoch per seed (per-lane RNG streams). Each lane must stop exactly
+    where its sequential counterpart does."""
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, lr=0.0, max_epochs=30, early_stopping_patience=2,
+        plateau_patience=1000, epochs_per_dispatch=4, check_finite=False,
+    )
+    seq_epochs = []
+    for s in SEEDS:
+        trainer.seed = s
+        seq_epochs.append(trainer.fit(dm).epochs_run)
+    ens = trainer.fit_ensemble(dm, SEEDS)
+    ens_epochs = [r.epochs_run for r in ens]
+    assert ens_epochs == seq_epochs
+    assert any(e < 30 for e in ens_epochs)  # stopping actually fired
+
+
+def test_ensemble_rejects_unsupported_modes(dm, tmp_path):
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    t = Trainer(model, max_epochs=2, checkpoint_dir=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="checkpointing"):
+        t.fit_ensemble(dm, [0, 1])
+    t = Trainer(model, max_epochs=2, use_mesh=True)
+    with pytest.raises(ValueError, match="mesh"):
+        t.fit_ensemble(dm, [0, 1])
