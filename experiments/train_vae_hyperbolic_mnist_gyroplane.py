@@ -15,6 +15,41 @@ from hyperbolic_vae_tpu.models import GyroplaneVAE
 from hyperbolic_vae_tpu.train import GenerateCallback, LatentScatterCallback, Trainer
 
 
+def train_seed_sweep(args, run_dir, latent_dim: int):
+    """--seeds a b c …: train every seed SIMULTANEOUSLY in one vmapped
+    program (Trainer.fit_ensemble) — per-seed results match sequential
+    fits; checkpoints/callbacks are off in this mode (train/ensemble.py)."""
+    dm = mnist.make_data_module(
+        batch_size=args.batch_size,
+        data_dir=args.data_dir,
+        synthetic=args.synthetic,
+        n_train=args.n_train,
+    )
+    model = GyroplaneVAE(
+        data_shape=dm.input_shape,
+        latent_dim=latent_dim,
+        manifold_curvature=args.curvature,
+        beta=args.beta,
+        prior_scale=args.prior_scale,
+        lr=args.lr,
+    )
+    trainer = Trainer(
+        model,
+        lr=args.lr,
+        max_epochs=args.epochs,
+        early_stopping_patience=None if args.no_early_stopping else 10,
+        log_dir=str(run_dir),
+        **trainer_extra(args),
+    )
+    results = trainer.fit_ensemble(dm, args.seeds)
+    for seed, r in zip(args.seeds, results):
+        print(f"seed={seed} epochs={r.epochs_run} "
+              f"best {trainer.monitor}={r.best_metric:.4f}")
+    print(f"ensemble samples/sec={results[0].samples_per_sec:.0f} "
+          f"({len(args.seeds)} seeds in one program)")
+    return results
+
+
 def train_latent_dim(args, run_dir, latent_dim: int):
     dm = mnist.make_data_module(
         batch_size=args.batch_size,
@@ -58,6 +93,13 @@ if __name__ == "__main__":
     parser.add_argument("--curvature", type=float, default=1.0)
     parser.add_argument("--beta", type=float, default=1.0)
     parser.add_argument("--prior-scale", type=float, default=1.0)
+    parser.add_argument(
+        "--seeds", type=int, nargs="+", default=None,
+        help="multi-seed sweep: train ALL seeds at once via fit_ensemble",
+    )
     args = parser.parse_args()
     run_dir = setup(args, "vae_hyperbolic_mnist_gyroplane")
-    train_latent_dim(args, run_dir, args.latent_dim)
+    if args.seeds:
+        train_seed_sweep(args, run_dir, args.latent_dim)
+    else:
+        train_latent_dim(args, run_dir, args.latent_dim)

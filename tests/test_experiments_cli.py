@@ -35,6 +35,15 @@ def test_flagship_gyroplane_cli(tmp_path):
     assert "test:" in out and "loss_total" in out
 
 
+def test_flagship_gyroplane_seed_sweep_cli(tmp_path):
+    out = run_script(
+        "train_vae_hyperbolic_mnist_gyroplane.py",
+        "--synthetic", "--n-train", "320", "--run-dir", str(tmp_path),
+        "--seeds", "0", "1", "--epochs-per-dispatch", "2",
+    )
+    assert "seed=0" in out and "seed=1" in out and "ensemble" in out
+
+
 def test_euclidean_mnist_cli(tmp_path):
     out = run_script(
         "train_vae_euclidean_mnist.py",
