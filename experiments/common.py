@@ -38,6 +38,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         " per-epoch K=1 semantics)",
     )
     p.add_argument("--use-mesh", action="store_true", help="shard over all local devices")
+    p.add_argument(
+        "--moment-dtype", type=str, default=None, choices=[None, "bfloat16", "float32"],
+        help="Adam moment STORAGE dtype (optimizer math stays f32);"
+        " bfloat16 halves the moment HBM stream while keeping f32 master"
+        " weights — see BASELINE.md's RNA-seq roofline",
+    )
     p.add_argument("--log-level", type=str, default="INFO")
     return p
 
@@ -57,4 +63,7 @@ def setup(args, name: str) -> Path:
 def trainer_extra(args) -> dict:
     """Trainer kwargs driven by common CLI flags (experiments splat this
     into their Trainer(...) call)."""
-    return {"epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1)}
+    return {
+        "epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1),
+        "moment_dtype": getattr(args, "moment_dtype", None),
+    }

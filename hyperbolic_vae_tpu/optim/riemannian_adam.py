@@ -72,18 +72,30 @@ def riemannian_adam(
     eps: float = 1e-8,
     ball: Optional[PoincareBall] = None,
     weight_decay: float = 0.0,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Build the transformation. ``ball`` is the manifold for every
-    manifold-tagged leaf (all reference models share one ball)."""
+    manifold-tagged leaf (all reference models share one ball).
+
+    ``moment_dtype``: storage dtype for BOTH Adam moments, independent of
+    the parameter dtype (default: follow each leaf's dtype). Setting
+    ``'bfloat16'`` with f32 params halves the moment HBM stream — the
+    read+write of exp_avg/exp_avg_sq every step, 4 of the 12 weight-class
+    array passes at the RNA-seq realistic config (BASELINE.md roofline) —
+    while keeping full-precision master weights. All moment arithmetic is
+    still f32; only the stored copy is narrowed.
+    """
 
     ball = ball or PoincareBall(c=1.0)
 
+    def _moment_zeros(p):
+        return jnp.zeros(p.shape, moment_dtype or p.dtype)
+
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
         return RiemannianAdamState(
             count=jnp.zeros([], jnp.int32),
-            exp_avg=zeros,
-            exp_avg_sq=jax.tree.map(jnp.zeros_like, params),
+            exp_avg=jax.tree.map(_moment_zeros, params),
+            exp_avg_sq=jax.tree.map(_moment_zeros, params),
         )
 
     def update_fn(grads, state, params=None):
@@ -102,6 +114,7 @@ def riemannian_adam(
             # arithmetic stays f32; results are cast back to the stored
             # dtype on the way out. No-op for f32 leaves.
             stored = p.dtype
+            m_stored = moment_dtype or stored
             g, p, m, v = (x.astype(jnp.float32) for x in (g, p, m, v))
             if weight_decay:
                 g = g + weight_decay * p
@@ -116,13 +129,13 @@ def riemannian_adam(
                 # exact because apply_updates does p + (new_p - p).
                 return (
                     (new_p - p).astype(stored),
-                    transported_m.astype(stored),
-                    new_v.astype(stored),
+                    transported_m.astype(m_stored),
+                    new_v.astype(m_stored),
                 )
             new_m = b1 * m + (1.0 - b1) * g
             new_v = b2 * v + (1.0 - b2) * g * g
             update = -lr * (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
-            return update.astype(stored), new_m.astype(stored), new_v.astype(stored)
+            return update.astype(stored), new_m.astype(m_stored), new_v.astype(m_stored)
 
         # tree.map over 5 aligned trees; labels is a prefix-compatible tree
         flat_updates = jax.tree.map(leaf_update, labels, grads, params, state.exp_avg, state.exp_avg_sq)

@@ -79,6 +79,7 @@ class Trainer:
         loss_fn=None,  # optional fn(params, batch, key) -> metrics dict
         train_step_fn=None,  # optional fn(params, opt_state, batch, key) -> (params, opt_state, metrics)
         param_sharding_fn=None,  # optional fn(params, mesh) -> sharding pytree (tensor parallelism)
+        moment_dtype: Optional[str] = None,  # Adam moment STORAGE dtype (e.g. 'bfloat16'); None = follow params
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -133,9 +134,9 @@ class Trainer:
         # program's cond branches).
         self._optimizer = optax.inject_hyperparams(
             riemannian_adam,
-            static_args=("ball", "b1", "b2", "eps", "weight_decay"),
+            static_args=("ball", "b1", "b2", "eps", "weight_decay", "moment_dtype"),
             hyperparam_dtype=jnp.float32,
-        )(learning_rate=self.lr, ball=ball)
+        )(learning_rate=self.lr, ball=ball, moment_dtype=moment_dtype)
 
         self._plateau_cfg = dict(
             lr=self.lr,

@@ -215,3 +215,72 @@ def test_rnaseq_bf16_param_storage_trains():
     losses = [h["train/loss_total"] for h in r.history]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_moment_dtype_bf16_with_f32_params():
+    """riemannian_adam(moment_dtype='bfloat16') with f32 params: moments
+    stored bf16 (halving the moment HBM stream), params stay f32 master
+    weights, updates computed in f32 track the all-f32 run to bf16
+    resolution — for Euclidean AND manifold (mp_) leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperbolic_vae_tpu.optim import riemannian_adam
+
+    g = jnp.linspace(-1, 1, 8, dtype=jnp.float32)
+    p_euc = jnp.linspace(0.5, 1.5, 8, dtype=jnp.float32)
+    p_man = (jnp.linspace(-0.4, 0.4, 8, dtype=jnp.float32)).reshape(4, 2)
+    g_man = jnp.full((4, 2), 0.3, jnp.float32)
+
+    def run(moment_dtype):
+        tx = riemannian_adam(1e-2, moment_dtype=moment_dtype)
+        params = {"w": p_euc, "mp_pts": p_man}
+        grads = {"w": g, "mp_pts": g_man}
+        state = tx.init(params)
+        for _ in range(5):
+            updates, state = tx.update(grads, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, state
+
+    params16, state16 = run("bfloat16")
+    params32, state32 = run(None)
+    for leaf in ("w", "mp_pts"):
+        assert state16.exp_avg[leaf].dtype == jnp.bfloat16
+        assert state16.exp_avg_sq[leaf].dtype == jnp.bfloat16
+        assert state32.exp_avg[leaf].dtype == jnp.float32
+        assert params16[leaf].dtype == jnp.float32  # master weights untouched
+        np.testing.assert_allclose(
+            np.asarray(params16[leaf]), np.asarray(params32[leaf]),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+def test_trainer_moment_dtype_plumbs_through():
+    """Trainer(moment_dtype='bfloat16') trains with bf16 moments and a
+    finite decreasing loss at f32 params (the f32-master + narrow-moment
+    middle point of the storage-dtype space)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+    from hyperbolic_vae_tpu.models import RNASeqVAE
+    from hyperbolic_vae_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (256, 512)).astype(np.float32)
+    y = np.zeros(256, np.int32)
+    dm = ArrayDataModule(x_train=x, y_train=y, x_val=x[:64], y_val=y[:64],
+                         x_test=x[:64], y_test=y[:64], batch_size=64)
+    model = RNASeqVAE(in_features=512, hidden_dim=32, latent_dim=2)
+    trainer = Trainer(model, max_epochs=4, early_stopping_patience=None,
+                      check_finite=False, moment_dtype="bfloat16")
+    params = trainer.init_params(x[:64])
+    opt_state = trainer._optimizer.init(params)
+    moment_leaves = jax.tree.leaves(opt_state.inner_state.exp_avg)
+    assert all(l.dtype == jnp.bfloat16 for l in moment_leaves)
+    r = trainer.fit(dm)
+    assert r.params["enc"]["kernel"].dtype == jnp.float32
+    losses = [h["train/loss_total"] for h in r.history]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
