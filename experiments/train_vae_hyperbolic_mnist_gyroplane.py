@@ -41,7 +41,12 @@ def train_seed_sweep(args, run_dir, latent_dim: int):
         log_dir=str(run_dir),
         **trainer_extra(args),
     )
-    results = trainer.fit_ensemble(dm, args.seeds)
+    seed_mesh = None
+    if getattr(args, "seed_mesh", 0):
+        from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+        seed_mesh = make_seed_mesh(args.seed_mesh)
+    results = trainer.fit_ensemble(dm, args.seeds, seed_mesh=seed_mesh)
     for seed, r in zip(args.seeds, results):
         print(f"seed={seed} epochs={r.epochs_run} "
               f"best {trainer.monitor}={r.best_metric:.4f}")
@@ -96,6 +101,11 @@ if __name__ == "__main__":
     parser.add_argument(
         "--seeds", type=int, nargs="+", default=None,
         help="multi-seed sweep: train ALL seeds at once via fit_ensemble",
+    )
+    parser.add_argument(
+        "--seed-mesh", type=int, default=0,
+        help="shard the --seeds lanes over this many devices "
+        "(1-D 'seed' mesh, zero-collective sweep scale-out); 0 = off",
     )
     args = parser.parse_args()
     run_dir = setup(args, "vae_hyperbolic_mnist_gyroplane")

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEED_AXIS = "seed"
 
 
 def make_mesh(
@@ -32,6 +33,30 @@ def make_mesh(
     devices = devices[: n_data * n_model]
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_seed_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D mesh over the ENSEMBLE SEED axis (train/ensemble.py).
+
+    Seed lanes are embarrassingly parallel — no cross-seed collectives
+    exist in the vmapped chunk program — so sharding the stacked
+    (S, ...) state over 'seed' partitions the whole multi-seed sweep
+    across chips with zero communication: each device trains S/N full
+    models. The scale-out story for the reference's real workloads
+    (the _7 grid, the _9 replication study, the 8-seed parity protocol),
+    which it runs strictly sequentially on one device.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (SEED_AXIS,))
+
+
+def seed_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (seed/lane) axis over 'seed'."""
+    return NamedSharding(mesh, P(SEED_AXIS, *([None] * (ndim - 1))))
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

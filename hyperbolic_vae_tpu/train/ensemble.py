@@ -25,10 +25,18 @@ leading seed axis:
     their slice of each remaining dispatch — the wasted work is bounded
     by the straggler seed, which is exactly the sequential worst case.
 
+Multi-chip sweeps: pass ``seed_mesh`` (a 1-D ``Mesh`` over the 'seed'
+axis, ``parallel.make_seed_mesh()``). The stacked (S, ...) state is
+sharded over the mesh's devices and the SAME vmapped program partitions
+with ZERO collectives — seed lanes never communicate, so each device
+trains S/N complete models and the sweep scales linearly with chips.
+Histories remain bit-identical to the unsharded (and sequential) runs:
+partitioning the seed axis does not touch any within-lane reduction
+order (tests/test_ensemble.py pins this on the virtual 8-device mesh).
+
 Not supported here (use sequential ``fit``): checkpointing, callbacks,
-resume, and meshes (an ensemble is a single-device batching transform;
-for multi-chip sweeps shard the SEED axis across a mesh instead — one
-ensemble per device group).
+resume, and the Trainer's own data/model mesh (the seed axis is the
+parallelism; DP/TP of tiny per-seed models would only add collectives).
 """
 
 from __future__ import annotations
@@ -42,10 +50,18 @@ import numpy as np
 
 from hyperbolic_vae_tpu.data.core import ArrayDataModule
 from hyperbolic_vae_tpu.optim import EarlyStopping, ReduceLROnPlateau
+from hyperbolic_vae_tpu.parallel.mesh import replicated, seed_sharding
 
 
 def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _shard_over_seeds(tree, mesh):
+    """Place every leaf's leading (seed) axis over the 'seed' mesh axis."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, seed_sharding(mesh, a.ndim)), tree
+    )
 
 
 def _lane(tree, s):
@@ -69,10 +85,15 @@ def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int, n_
 
 
 def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
-                 epochs_per_dispatch: Optional[int] = None) -> list:
+                 epochs_per_dispatch: Optional[int] = None,
+                 seed_mesh=None) -> list:
     """Train ``len(seeds)`` independent models at once; returns one
     ``TrainResult`` per seed (same order), each equivalent to a
     sequential ``trainer.fit`` with that seed.
+
+    ``seed_mesh``: optional 1-D Mesh over the 'seed' axis
+    (``parallel.make_seed_mesh``). Shards the lanes across its devices —
+    zero-collective sweep scale-out; len(seeds) must divide evenly.
 
     ``samples_per_sec`` on every result is the AGGREGATE post-compile
     chip throughput of the ensemble (useful training samples across all
@@ -89,6 +110,10 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
     seeds = list(seeds)
     n_seeds = len(seeds)
     assert n_seeds >= 1
+    if seed_mesh is not None and n_seeds % seed_mesh.size != 0:
+        raise ValueError(
+            f"{n_seeds} seeds do not shard evenly over {seed_mesh.size} devices"
+        )
     k = int(epochs_per_dispatch or max(trainer.epochs_per_dispatch, 1))
 
     # fresh host controller mirrors, as fit() does (they are not consulted
@@ -116,6 +141,17 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
 
     x_train = trainer._stage(dm.x_train)
     x_val = trainer._stage(dm.x_val)
+    if seed_mesh is not None:
+        # lanes over devices, data replicated; the jit partitions the
+        # vmapped program from these input placements (no collectives —
+        # there is no cross-seed op to communicate for)
+        params, opt_state, best_params, ctrl = (
+            _shard_over_seeds(t, seed_mesh)
+            for t in (params, opt_state, best_params, ctrl)
+        )
+        keys = jax.device_put(keys, seed_sharding(seed_mesh, keys.ndim))
+        x_train = jax.device_put(x_train, replicated(seed_mesh))
+        x_val = jax.device_put(x_val, replicated(seed_mesh))
     n_train = int(dm.x_train.shape[0])
     n_val = int(dm.x_val.shape[0])
     steps = n_train // dm.batch_size

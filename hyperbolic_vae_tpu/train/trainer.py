@@ -730,14 +730,17 @@ class Trainer:
         )
 
     def fit_ensemble(self, dm: ArrayDataModule, seeds: Sequence[int],
-                     epochs_per_dispatch: Optional[int] = None) -> list:
+                     epochs_per_dispatch: Optional[int] = None,
+                     seed_mesh=None) -> list:
         """Train one independent model PER SEED simultaneously: the chunk
         program vmapped over a leading seed axis (see train/ensemble.py).
         Returns a list of TrainResult, one per seed, each matching what a
-        sequential ``fit`` with that seed produces."""
+        sequential ``fit`` with that seed produces. ``seed_mesh`` (a 1-D
+        Mesh over 'seed', parallel.make_seed_mesh) shards the lanes
+        across devices — zero-collective sweep scale-out."""
         from hyperbolic_vae_tpu.train.ensemble import fit_ensemble
 
-        return fit_ensemble(self, dm, seeds, epochs_per_dispatch)
+        return fit_ensemble(self, dm, seeds, epochs_per_dispatch, seed_mesh=seed_mesh)
 
     # ------------------------------------------------------------------ #
 

@@ -82,6 +82,69 @@ def test_ensemble_per_seed_early_stop(dm):
     assert any(e < 30 for e in ens_epochs)  # stopping actually fired
 
 
+def test_seed_mesh_ensemble_matches_unsharded(dm):
+    """Sharding the seed axis over devices must not change ANY number:
+    lanes are embarrassingly parallel, so the partitioned program leaves
+    every within-lane reduction order intact — bit-identical histories
+    and params vs the single-device ensemble."""
+    import jax
+
+    from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    seeds = [42, 7, 3, 11]
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=6, early_stopping_patience=4, plateau_patience=2,
+        epochs_per_dispatch=3, check_finite=False,
+    )
+    plain = trainer.fit_ensemble(dm, seeds)
+    mesh = make_seed_mesh(4)
+    sharded = trainer.fit_ensemble(dm, seeds, seed_mesh=mesh)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(*map(np.asarray, (_histories(a), _histories(b))),
+                                   rtol=0, atol=0)
+        assert a.epochs_run == b.epochs_run
+        assert a.best_metric == b.best_metric
+        for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
+
+
+def test_seed_mesh_ensemble_two_lanes_per_device(dm):
+    """S > n_devices: each device carries S/N lanes."""
+    import jax
+
+    from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    seeds = [0, 1, 2, 3]
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=4, early_stopping_patience=None, plateau_patience=50,
+        epochs_per_dispatch=2, check_finite=False,
+    )
+    plain = trainer.fit_ensemble(dm, seeds)
+    sharded = trainer.fit_ensemble(dm, seeds, seed_mesh=make_seed_mesh(2))
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(*map(np.asarray, (_histories(a), _histories(b))),
+                                   rtol=0, atol=0)
+
+
+def test_seed_mesh_rejects_uneven_shard(dm):
+    import jax
+
+    from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=2, check_finite=False)
+    with pytest.raises(ValueError, match="shard evenly"):
+        trainer.fit_ensemble(dm, [0, 1, 2], seed_mesh=make_seed_mesh(2))
+
+
 def test_ensemble_rejects_unsupported_modes(dm, tmp_path):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
     t = Trainer(model, max_epochs=2, checkpoint_dir=str(tmp_path / "ck"))
