@@ -41,6 +41,11 @@ def train_seed_sweep(args, run_dir, latent_dim: int):
         log_dir=str(run_dir),
         **trainer_extra(args),
     )
+    if args.use_mesh:
+        raise SystemExit(
+            "--use-mesh (data parallelism) does not compose with --seeds; "
+            "shard the sweep itself with --seed-mesh N instead"
+        )
     seed_mesh = None
     if getattr(args, "seed_mesh", 0):
         from hyperbolic_vae_tpu.parallel import make_seed_mesh

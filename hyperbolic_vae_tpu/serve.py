@@ -56,6 +56,11 @@ class Inferencer:
         if mesh is not None:
             from hyperbolic_vae_tpu.parallel.mesh import replicated
 
+            # the batch axis is device_put over 'data': round the serving
+            # batch up so every dispatch shards evenly (uneven device_put
+            # raises; requests are padded to full batches anyway)
+            n_data = mesh.shape["data"]
+            self.batch_size = -(-self.batch_size // n_data) * n_data
             params = jax.device_put(params, replicated(mesh))
         self.params = params  # resident, never donated
         self._compiled = {}
@@ -116,6 +121,7 @@ class Inferencer:
         round trip (sequential per-batch dispatches do NOT pipeline on
         the axon tunnel — measured ~50 ms each). Cached per (method, k);
         warmup() can prime common sizes."""
+        assert k > 1, "single-batch requests go through _fn directly"
         key = (method, k)
         if key not in self._compiled:
             apply = self._fn(method)
@@ -123,7 +129,7 @@ class Inferencer:
             def apply_k(params, xk):
                 return jax.lax.map(lambda xb: apply(params, xb), xk)
 
-            self._compiled[key] = jax.jit(apply_k) if k > 1 else apply
+            self._compiled[key] = jax.jit(apply_k)
         return self._compiled[key]
 
     def _dispatch(self, method: str, x: np.ndarray, n_keep: int):
@@ -161,6 +167,12 @@ class Inferencer:
         full-cap dispatches for the bulk, one bucketed dispatch for the
         remainder."""
         n = x.shape[0]
+        if n == 0:
+            # run ONE zero row through the already-primed 1-batch program
+            # and trim — an empty request must not compile a fresh
+            # (0, ...)-shaped out-of-bucket program
+            x = np.zeros((1,) + tuple(x.shape[1:]), np.float32)
+            return self._dispatch(method, x, 0)
         cap_rows = self.max_batches_per_dispatch * self.batch_size
         if n <= cap_rows:
             return self._dispatch(method, x, n)

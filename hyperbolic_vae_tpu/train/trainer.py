@@ -764,6 +764,12 @@ class Trainer:
         the Trainer; params are swapped in per call."""
         x = np.asarray(getattr(dm, f"x_{split}"), np.float32)
         bs = int(batch_size or dm.batch_size)
+        if self.mesh is not None:
+            # match Inferencer's rounding so the cache check agrees: the
+            # serving batch must shard evenly over the 'data' axis even
+            # when the TRAINING batch (gathered in-graph) need not
+            n_data = self.mesh.shape["data"]
+            bs = -(-bs // n_data) * n_data
         inf = getattr(self, "_encode_inferencer", None)
         if inf is None or inf.batch_size != bs:
             from hyperbolic_vae_tpu.serve import Inferencer
@@ -775,4 +781,8 @@ class Trainer:
                 params = jax.device_put(params, replicated(self.mesh))
             inf.params = params
         mu = inf.embed(x)
+        # keep the compiled programs cached but release the params (a
+        # replicated copy under a mesh) — otherwise a one-off encode pins
+        # a full parameter tree in HBM for the Trainer's lifetime
+        inf.params = None
         return np.asarray(mu), np.asarray(getattr(dm, f"y_{split}"))

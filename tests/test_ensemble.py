@@ -132,6 +132,39 @@ def test_seed_mesh_ensemble_two_lanes_per_device(dm):
                                    rtol=0, atol=0)
 
 
+def test_single_dispatch_sweep_reports_throughput(dm):
+    """max_epochs <= K: the whole sweep runs inside the compile dispatch;
+    samples_per_sec must come from a timed replay, not report 0.0
+    (round-3 review finding)."""
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=3, early_stopping_patience=None, plateau_patience=50,
+        epochs_per_dispatch=8, check_finite=False,
+    )
+    results = trainer.fit_ensemble(dm, [0, 1])
+    assert all(r.epochs_run == 3 for r in results)
+    assert results[0].samples_per_sec > 0
+
+
+def test_ensemble_writes_per_seed_metrics(dm, tmp_path):
+    """--seeds mode must not leave the run_dir without metric files."""
+    import json
+
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=2, early_stopping_patience=None, plateau_patience=50,
+        epochs_per_dispatch=2, check_finite=False, log_dir=str(tmp_path),
+    )
+    results = trainer.fit_ensemble(dm, [5, 6])
+    for seed, r in zip([5, 6], results):
+        f = tmp_path / f"seed_{seed}" / "metrics.jsonl"
+        assert f.exists()
+        rows = [json.loads(line) for line in f.read_text().splitlines()]
+        assert len(rows) == r.epochs_run
+        hist_vals = [h["val/loss_total"] for h in r.history]
+        assert [row["val/loss_total"] for row in rows] == hist_vals
+
+
 def test_seed_mesh_rejects_uneven_shard(dm):
     import jax
 

@@ -57,6 +57,54 @@ def test_from_checkpoint_roundtrip(trained):
     np.testing.assert_allclose(mu_ckpt, mu_live, atol=1e-6)
 
 
+def test_empty_request_no_new_compile(trained):
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64)
+    inf.embed(dm.x_train[:10])  # primes the 1-batch program
+    n_before = inf.n_programs
+    mu = inf.embed(np.empty((0, 28, 28, 1), np.float32))
+    assert mu.shape == (0, 2)
+    assert inf.n_programs == n_before  # no out-of-bucket (0, ...) program
+
+
+def test_mesh_batch_rounds_to_data_axis(trained):
+    """batch_size not divisible by the mesh 'data' axis must round up,
+    not crash the sharded device_put (round-3 review finding)."""
+    from hyperbolic_vae_tpu.parallel import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    dm, model, result, _ = trained
+    mesh = make_mesh(n_data=8)
+    inf = Inferencer(model, result.best_params, batch_size=100, mesh=mesh)
+    assert inf.batch_size == 104  # rounded to a multiple of 8
+    mu = inf.embed(dm.x_train[:70])  # k=1 path
+    assert mu.shape == (70, 2)
+    xk = inf.embed(dm.x_train[:260])  # k>1 path shards axis 1
+    assert xk.shape == (260, 2)
+    ref = Inferencer(model, result.best_params, batch_size=104).embed(dm.x_train[:260])
+    np.testing.assert_allclose(xk, ref, atol=1e-6)
+
+
+def test_encode_split_with_odd_batch_on_mesh():
+    from hyperbolic_vae_tpu.parallel import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    dm = make_data_module(batch_size=100, synthetic=True, n_train=200, n_test=60)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=1, early_stopping_patience=None,
+        check_finite=False, mesh=make_mesh(n_data=8),
+    )
+    result = trainer.fit(dm)
+    mu, labels = trainer.encode_split(dm, result.params, "val")
+    assert mu.shape[0] == labels.shape[0]
+    assert np.all(np.isfinite(mu))
+    # the cached inferencer must not pin a params copy after the call
+    assert trainer._encode_inferencer.params is None
+
+
 def test_decode_endpoint(trained):
     dm, model, result, _ = trained
     inf = Inferencer(model, result.best_params, batch_size=16)
