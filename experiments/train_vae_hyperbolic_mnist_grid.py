@@ -3,10 +3,18 @@ choices with per-run crash isolation.
 
 Reference: /root/reference/scripts/_7_train_vae_hyperbolic_mnist_grid.py
 (try/except-traceback-continue per run, :75-89).
+
+``--lane-sweep``: instead of one sequential fit per cell (the
+reference's loop), the (curvature x beta) cells of each shape group
+(same latent dim + layer choices) train as vmapped LANES of one
+compiled program (Trainer(hp_model_fn=...) + fit_lane_sweep) — the
+grid runs as len(latent_dims x enc x dec) programs instead of
+len(full grid) fits.
 """
 
 import itertools
 import json
+import time
 import traceback
 
 from common import base_parser, setup, trainer_extra
@@ -16,6 +24,56 @@ from hyperbolic_vae_tpu.models import HyperbolicImageVAE
 from hyperbolic_vae_tpu.train import Trainer
 from train_vae_euclidean_mnist import pad_to_32
 
+
+def lane_sweep_grid(args, run_dir, dm):
+    """One fit_lane_sweep per (latent_dim, enc, dec) shape group."""
+    results = {}
+    for latent_dim, enc, dec in itertools.product(
+        args.latent_dims, args.encoder_lasts, args.decoder_firsts
+    ):
+        def model_fn(hp, _d=latent_dim, _e=enc, _x=dec):
+            return HyperbolicImageVAE(
+                data_shape=dm.input_shape, latent_dim=_d,
+                manifold_curvature=hp["manifold_curvature"],
+                encoder_last_layer_module=_e, decoder_first_layer_module=_x,
+                beta=hp["beta"], lr=args.lr,
+            )
+
+        lanes = [
+            {"manifold_curvature": c, "beta": b, "seed": args.seed}
+            for c, b in itertools.product(args.curvatures, args.betas)
+        ]
+        group = f"d{latent_dim}_{enc}_{dec}"
+        try:
+            rep = model_fn(lanes[0])
+            trainer = Trainer(
+                rep, lr=args.lr, max_epochs=args.epochs, seed=args.seed,
+                hp_model_fn=model_fn,
+                early_stopping_patience=None if args.no_early_stopping else 10,
+                log_dir=str(run_dir / group),
+                **trainer_extra(args),
+            )
+            t0 = time.perf_counter()
+            sweep = trainer.fit_lane_sweep(dm, lanes)
+            wall = time.perf_counter() - t0
+            for lane, r in zip(lanes, sweep):
+                tag = f"c{lane['manifold_curvature']}_b{lane['beta']}_{group}"
+                ev = Trainer(
+                    model_fn(lane), lr=args.lr, seed=args.seed, check_finite=False
+                )
+                test = ev.evaluate(dm, r.best_params, "test")
+                results[tag] = dict(test, epochs=r.epochs_run,
+                                    best_val=r.best_metric)
+                print(tag, results[tag])
+            print(f"[{group}] {len(lanes)} lanes in ONE program: "
+                  f"{wall:.1f}s wall, {sweep[0].samples_per_sec:.0f} agg samples/s")
+        except Exception:  # per-group isolation (ref :75-89)
+            traceback.print_exc()
+            for c, b in itertools.product(args.curvatures, args.betas):
+                results[f"c{c}_b{b}_{group}"] = None
+    return results
+
+
 if __name__ == "__main__":
     parser = base_parser(__doc__)
     parser.add_argument("--curvatures", type=float, nargs="+", default=[0.5, 1.0, 1.4])
@@ -23,6 +81,11 @@ if __name__ == "__main__":
     parser.add_argument("--latent-dims", type=int, nargs="+", default=[2])
     parser.add_argument("--encoder-lasts", type=str, nargs="+", default=["linear", "mobius"])
     parser.add_argument("--decoder-firsts", type=str, nargs="+", default=["geoopt_gyroplane", "geodesic"])
+    parser.add_argument(
+        "--lane-sweep", action="store_true",
+        help="train each shape group's (curvature x beta) cells as vmapped "
+        "lanes of one compiled program instead of sequential fits",
+    )
     args = parser.parse_args()
     run_dir = setup(args, "vae_hyperbolic_mnist_grid")
     dm = pad_to_32(
@@ -33,6 +96,16 @@ if __name__ == "__main__":
             n_train=args.n_train,
         )
     )
+    if args.lane_sweep:
+        results = lane_sweep_grid(args, run_dir, dm)
+        out = {
+            k: ({m: float(v) for m, v in r.items()} if r else None)
+            for k, r in results.items()
+        }
+        (run_dir / "grid_results.json").write_text(json.dumps(out, indent=2))
+        print(json.dumps(out, indent=2))
+        raise SystemExit(0)
+
     results = {}
     grid = itertools.product(
         args.curvatures, args.betas, args.latent_dims, args.encoder_lasts, args.decoder_firsts

@@ -110,12 +110,18 @@ class PoincareBall:
     # ---- basic geometry -------------------------------------------------
 
     @property
-    def sqrt_c(self) -> float:
-        return math.sqrt(self.c)
+    def sqrt_c(self):
+        """sqrt(c). Stays a Python float for static curvature (plot
+        ranges etc. rely on that); becomes a jnp scalar when ``c`` is a
+        traced value (hyperparameter-lane sweeps vmap over curvature —
+        train/ensemble.py fit_lane_sweep)."""
+        if isinstance(self.c, (int, float)):
+            return math.sqrt(self.c)
+        return jnp.sqrt(self.c)
 
     @property
-    def radius(self) -> float:
-        return 1.0 / math.sqrt(self.c)
+    def radius(self):
+        return 1.0 / self.sqrt_c
 
     def origin(self, shape, dtype=jnp.float32) -> jax.Array:
         """Origin of the ball; matches geoopt ``PoincareBall.origin``."""

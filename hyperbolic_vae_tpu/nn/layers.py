@@ -180,9 +180,11 @@ class PoincareHyperplanes(fnn.Module):
             gyroplane_distances_fast,
         )
 
-        if x.ndim == 2:
+        if x.ndim == 2 and isinstance(self.ball.c, (int, float)):
             distance = gyroplane_distances_fast(x, points, self.ball.c, self.signed, None)
         else:
+            # traced curvature (hparam-lane sweeps) or batched ranks: the
+            # pure-jnp path (the Pallas fast path needs a concrete c)
             distance = gyroplane_distances(x, points, self.ball.c, signed=self.signed)
         if self.squared and self.signed:
             distance = jnp.sign(distance) * distance * distance

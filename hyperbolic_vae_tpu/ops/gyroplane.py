@@ -60,8 +60,12 @@ def _arsinh_pallas(y):
 
 
 def _epilogue(xp, x2, p2, c: float, signed: bool, bias=None, arsinh=jnp.arcsinh):
-    """Shared elementwise tail: xp (B, P), x2 (B, 1), p2 (1, P) -> (B, P)."""
-    sqrt_c = math.sqrt(c)
+    """Shared elementwise tail: xp (B, P), x2 (B, 1), p2 (1, P) -> (B, P).
+
+    ``c`` may be a traced scalar (hyperparameter-lane sweeps vmap over
+    curvature); only the jnp path supports that — the Pallas dispatch
+    requires a concrete float (custom_vjp nondiff argnums)."""
+    sqrt_c = math.sqrt(c) if isinstance(c, (int, float)) else jnp.sqrt(c)
     den = jnp.maximum(1.0 - 2.0 * c * xp + c * c * p2 * x2, MIN_NORM)
     alpha = (1.0 - 2.0 * c * xp + c * x2) / den
     beta = (1.0 - c * p2) / den

@@ -68,17 +68,21 @@ def _lane(tree, s):
     return jax.tree.map(lambda a: a[s], tree)
 
 
-def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int, n_seeds: int):
-    """jit(vmap(chunk body)) over the seed axis, cached on the trainer."""
+def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int,
+                  n_seeds: int, hp_keys=None):
+    """jit(vmap(chunk body)) over the seed/lane axis, cached on the
+    trainer. ``hp_keys``: when set, the body's trailing ``hp`` dict is
+    also mapped over the lane axis (hyperparameter-lane sweeps)."""
     cache = getattr(trainer, "_ens_fn_cache", None)
     if cache is None:
         cache = trainer._ens_fn_cache = {}
-    key = (n_train, batch_size, n_val, k, n_seeds)
+    key = (n_train, batch_size, n_val, k, n_seeds, hp_keys)
     if key not in cache:
         trainer._chunk_fn(n_train, batch_size, n_val, k)  # fills the body cache
         body = trainer._chunk_body_cache[(n_train, batch_size, n_val, k)]
+        hp_axes = None if hp_keys is None else {name: 0 for name in hp_keys}
         cache[key] = jax.jit(
-            jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0)),
+            jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0, hp_axes)),
             donate_argnums=(0, 1, 2),
         )
     return cache[key]
@@ -86,7 +90,7 @@ def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int, n_
 
 def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
                  epochs_per_dispatch: Optional[int] = None,
-                 seed_mesh=None) -> list:
+                 seed_mesh=None, lane_hparams=None, lane_lrs=None) -> list:
     """Train ``len(seeds)`` independent models at once; returns one
     ``TrainResult`` per seed (same order), each equivalent to a
     sequential ``trainer.fit`` with that seed.
@@ -94,6 +98,14 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
     ``seed_mesh``: optional 1-D Mesh over the 'seed' axis
     (``parallel.make_seed_mesh``). Shards the lanes across its devices —
     zero-collective sweep scale-out; len(seeds) must divide evenly.
+
+    ``lane_hparams`` (requires ``Trainer(hp_model_fn=...)``): one dict of
+    scalar hyperparameters per lane (same keys everywhere) — each lane
+    trains its OWN model built from its scalars (curvature, beta, ...),
+    vmapped into the same single program. ``lane_lrs``: optional per-lane
+    initial learning rate (the in-graph plateau controller owns the LR,
+    so this is just its per-lane starting point). Use ``fit_lane_sweep``
+    for the list-of-dicts front end.
 
     ``samples_per_sec`` on every result is the AGGREGATE post-compile
     chip throughput of the ensemble (useful training samples across all
@@ -114,6 +126,20 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         raise ValueError(
             f"{n_seeds} seeds do not shard evenly over {seed_mesh.size} devices"
         )
+    hp_keys = None
+    if lane_hparams is not None:
+        if trainer.hp_model_fn is None:
+            raise ValueError("lane_hparams requires Trainer(hp_model_fn=...)")
+        lane_hparams = [dict(h) for h in lane_hparams]
+        if len(lane_hparams) != n_seeds:
+            raise ValueError("need one hparam dict per lane")
+        hp_keys = tuple(sorted(lane_hparams[0]))
+        if any(tuple(sorted(h)) != hp_keys for h in lane_hparams):
+            raise ValueError("every lane must carry the same hparam keys")
+    elif trainer.hp_model_fn is not None:
+        raise ValueError("hp_model_fn trainers need lane_hparams (fit_lane_sweep)")
+    if lane_lrs is not None and len(lane_lrs) != n_seeds:
+        raise ValueError("need one lr per lane")
     k = int(epochs_per_dispatch or max(trainer.epochs_per_dispatch, 1))
 
     # fresh host controller mirrors, as fit() does (they are not consulted
@@ -124,20 +150,41 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         trainer.early_stopping = EarlyStopping(patience=trainer._early_patience)
 
     # per-seed init, replicating fit()'s exact key path: PRNGKey(seed) ->
-    # (carry key, init key); the carry key then drives shuffle + sampling
-    params_l, opt_l, key_l = [], [], []
-    for s in seeds:
+    # (carry key, init key); the carry key then drives shuffle + sampling.
+    # In lane mode each lane is initialized by ITS OWN concrete model
+    # (init values depend on e.g. curvature; structures/shapes do not).
+    params_l, opt_l, key_l, ctrl_l = [], [], [], []
+    for i, s in enumerate(seeds):
         key = jax.random.PRNGKey(s)
         key, init_key = jax.random.split(key)
-        p = trainer.init_params(dm.x_train, init_key)
+        if lane_hparams is not None:
+            model_i = trainer.hp_model_fn(lane_hparams[i])
+            k1, k2 = jax.random.split(init_key)
+            p = model_i.init(
+                {"params": k1, "sample": k2}, jnp.asarray(dm.x_train[:2])
+            )["params"]
+            ball_i = getattr(model_i, "ball", None)
+            opt_l.append(trainer._make_optimizer(ball_i).init(p))
+        else:
+            p = trainer.init_params(dm.x_train, init_key)
+            opt_l.append(trainer._optimizer.init(p))
         params_l.append(p)
-        opt_l.append(trainer._optimizer.init(p))
         key_l.append(key)
+        ctrl_i = trainer._init_ctrl()
+        if lane_lrs is not None:
+            ctrl_i["pl_lr"] = jnp.asarray(float(lane_lrs[i]), jnp.float32)
+        ctrl_l.append(ctrl_i)
     params = _stack(params_l)
     opt_state = _stack(opt_l)
     keys = jnp.stack(key_l)
-    ctrl = _stack([trainer._init_ctrl() for _ in seeds])
+    ctrl = _stack(ctrl_l)
     best_params = jax.tree.map(jnp.copy, params)
+    hp_stack = None
+    if lane_hparams is not None:
+        hp_stack = {
+            name: jnp.asarray([float(h[name]) for h in lane_hparams], jnp.float32)
+            for name in hp_keys
+        }
 
     x_train = trainer._stage(dm.x_train)
     x_val = trainer._stage(dm.x_val)
@@ -150,6 +197,8 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
             for t in (params, opt_state, best_params, ctrl)
         )
         keys = jax.device_put(keys, seed_sharding(seed_mesh, keys.ndim))
+        if hp_stack is not None:
+            hp_stack = _shard_over_seeds(hp_stack, seed_mesh)
         x_train = jax.device_put(x_train, replicated(seed_mesh))
         x_val = jax.device_put(x_val, replicated(seed_mesh))
     n_train = int(dm.x_train.shape[0])
@@ -175,11 +224,13 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
 
     for chunk_start in range(0, trainer.max_epochs, k):
         k_eff = min(k, trainer.max_epochs - chunk_start)
-        ens_fn = _ens_chunk_fn(trainer, n_train, dm.batch_size, n_val, k_eff, n_seeds)
+        ens_fn = _ens_chunk_fn(
+            trainer, n_train, dm.batch_size, n_val, k_eff, n_seeds, hp_keys
+        )
         if single_dispatch:
             replay_fn = ens_fn
         params, opt_state, best_params, ctrl, keys, tms, vms, lrs = ens_fn(
-            params, opt_state, best_params, ctrl, x_train, x_val, keys
+            params, opt_state, best_params, ctrl, x_train, x_val, keys, hp_stack
         )
         tms, vms, lrs, ctrl_host = jax.device_get((tms, vms, lrs, ctrl))
         first_chunk = t_start is None
@@ -207,7 +258,7 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         # (inputs are donated) purely to time it; results are discarded
         p0, o0, b0, c0, k0 = jax.tree.map(jnp.copy, init_state)
         t0 = time.perf_counter()
-        out = replay_fn(p0, o0, b0, c0, x_train, x_val, k0)
+        out = replay_fn(p0, o0, b0, c0, x_train, x_val, k0, hp_stack)
         jax.device_get(out[3])  # ctrl: forces completion on axon
         elapsed = max(time.perf_counter() - t0, 1e-9)
         total_samples = samples_per_epoch * sum(epochs_run)
@@ -221,7 +272,9 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         from hyperbolic_vae_tpu.train.metrics import MetricLogger
 
         for s, seed in enumerate(seeds):
-            ml = MetricLogger(str(trainer.metric_logger.log_dir / f"seed_{seed}"))
+            # lanes may share a seed (hparam sweeps) — key dirs by lane
+            sub = f"lane_{s}" if lane_hparams is not None else f"seed_{seed}"
+            ml = MetricLogger(str(trainer.metric_logger.log_dir / sub))
             for row in histories[s]:
                 ml.log_scalars(int(row["epoch"]), row)
             ml.close()
@@ -247,3 +300,32 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
             )
         )
     return results
+
+
+def fit_lane_sweep(trainer, dm: ArrayDataModule, lanes: Sequence[dict],
+                   epochs_per_dispatch: Optional[int] = None,
+                   seed_mesh=None) -> list:
+    """Hyperparameter-LANE sweep: one dict per lane, e.g.
+    ``{"seed": 42, "lr": 1e-3, "manifold_curvature": 0.5, "beta": 3.0}``.
+
+    The reference's grid study runs every (curvature, beta) cell as its
+    own sequential fit (/root/reference/scripts/_7_train_vae_hyperbolic_mnist_grid.py:30-45);
+    here all cells that share SHAPES (same latent dim / layer choices)
+    train simultaneously as vmapped lanes of one compiled program —
+    ``Trainer(hp_model_fn=...)`` rebuilds each lane's model from its
+    scalars inside the trace (traced curvature flows through the whole
+    manifold stack; see PoincareBall.sqrt_c). Composes with
+    ``seed_mesh`` for multi-chip scale-out.
+
+    Reserved lane keys: ``seed`` (default ``trainer.seed``) and ``lr``
+    (default ``trainer.lr``; the in-graph plateau controller starts
+    there). Everything else is passed to ``hp_model_fn`` as an f32
+    scalar. Returns one TrainResult per lane (lane order).
+    """
+    lanes = [dict(l) for l in lanes]
+    seeds = [int(l.pop("seed", trainer.seed)) for l in lanes]
+    lrs = [float(l.pop("lr", trainer.lr)) for l in lanes]
+    return fit_ensemble(
+        trainer, dm, seeds, epochs_per_dispatch, seed_mesh=seed_mesh,
+        lane_hparams=lanes, lane_lrs=lrs,
+    )

@@ -80,6 +80,7 @@ class Trainer:
         train_step_fn=None,  # optional fn(params, opt_state, batch, key) -> (params, opt_state, metrics)
         param_sharding_fn=None,  # optional fn(params, mesh) -> sharding pytree (tensor parallelism)
         moment_dtype: Optional[str] = None,  # Adam moment STORAGE dtype (e.g. 'bfloat16'); None = follow params
+        hp_model_fn=None,  # optional fn(hp dict of scalars) -> flax model: hyperparameter-LANE sweeps (fit_lane_sweep)
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -113,6 +114,15 @@ class Trainer:
             # reference's torch detect_anomaly wrapper (scripts/_6:64)
             jax.config.update("jax_debug_nans", True)
         self.model = model
+        # hyperparameter-lane mode: the model is RECONSTRUCTED inside the
+        # traced program from per-lane scalars (curvature/beta/...), so S
+        # grid cells train as vmapped lanes of ONE compiled program
+        # (train/ensemble.py fit_lane_sweep). ``model`` stays as the
+        # representative instance (shapes/defaults). Only the ensemble
+        # path supports this — fit()/evaluate() raise.
+        self.hp_model_fn = hp_model_fn
+        if hp_model_fn is not None and (loss_fn or train_step_fn):
+            raise ValueError("hp_model_fn does not compose with loss_fn/train_step_fn")
         self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
         self.max_epochs = max_epochs
         self.seed = seed
@@ -132,11 +142,8 @@ class Trainer:
         # would otherwise store learning_rate in bf16 (quantizing LR
         # values and breaking dtype agreement between the chunk
         # program's cond branches).
-        self._optimizer = optax.inject_hyperparams(
-            riemannian_adam,
-            static_args=("ball", "b1", "b2", "eps", "weight_decay", "moment_dtype"),
-            hyperparam_dtype=jnp.float32,
-        )(learning_rate=self.lr, ball=ball, moment_dtype=moment_dtype)
+        self._moment_dtype = moment_dtype
+        self._optimizer = self._make_optimizer(ball)
 
         self._plateau_cfg = dict(
             lr=self.lr,
@@ -171,20 +178,54 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _make_optimizer(self, ball):
+        """The optimizer chain for a given manifold. ``ball`` may carry a
+        TRACED curvature in hyperparameter-lane mode (constructed inside
+        the traced program); the transformation itself is pure jnp."""
+        return optax.inject_hyperparams(
+            riemannian_adam,
+            static_args=("ball", "b1", "b2", "eps", "weight_decay", "moment_dtype"),
+            hyperparam_dtype=jnp.float32,
+        )(learning_rate=self.lr, ball=ball, moment_dtype=self._moment_dtype)
+
     def _build_epoch_fns(self, n_train: int, batch_size: int, n_val: int):
         steps = n_train // batch_size
         model = self.model
-        optimizer = self._optimizer
-        loss_metrics = self.loss_fn or (
-            lambda p, batch, key: model.apply(
-                {"params": p}, batch, method="loss", rngs={"sample": key}
+        hp_model_fn = self.hp_model_fn
+        if hp_model_fn is not None:
+            # hyperparameter-lane mode: model + optimizer are functions of
+            # the per-lane scalar dict ``hp`` (traced under vmap)
+            def loss_metrics(p, batch, key, hp):
+                return hp_model_fn(hp).apply(
+                    {"params": p}, batch, method="loss", rngs={"sample": key}
+                )
+
+            def get_optimizer(hp):
+                m = hp_model_fn(hp)
+                return self._make_optimizer(
+                    getattr(m, "ball", None) or PoincareBall(c=1.0)
+                )
+
+        else:
+            base_loss = self.loss_fn or (
+                lambda p, batch, key: model.apply(
+                    {"params": p}, batch, method="loss", rngs={"sample": key}
+                )
             )
-        )
+
+            def loss_metrics(p, batch, key, hp):
+                del hp
+                return base_loss(p, batch, key)
+
+            def get_optimizer(hp):
+                del hp
+                return self._optimizer
 
         shuffle = self.shuffle
         train_step_fn = self.train_step_fn
 
-        def train_epoch(params, opt_state, x_all, key):
+        def train_epoch(params, opt_state, x_all, key, hp=None):
+            optimizer = get_optimizer(hp)
             perm_key, sample_key, off_key = jax.random.split(key, 3)
             if shuffle == "row":
                 # exact reference semantics: fresh per-sample permutation
@@ -215,7 +256,7 @@ class Trainer:
                     return (params, opt_state, skey), metrics
 
                 def loss_fn(p):
-                    m = loss_metrics(p, batch, sk)
+                    m = loss_metrics(p, batch, sk, hp)
                     return m["loss_total"], m
 
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -244,13 +285,13 @@ class Trainer:
         # monitored metric covers the FULL split like the reference's
         eval_rem = n_val - eval_steps * eval_batch
 
-        def eval_scan(params, x_all, key):
+        def eval_scan(params, x_all, key, hp=None):
             idx = jnp.arange(eval_steps * eval_batch).reshape(eval_steps, eval_batch)
 
             def step(skey, batch_idx):
                 skey, sk = jax.random.split(skey)
                 batch = jnp.take(x_all, batch_idx, axis=0, mode="clip")
-                m = loss_metrics(params, batch, sk)
+                m = loss_metrics(params, batch, sk, hp)
                 return skey, m
 
             _, ms = jax.lax.scan(step, key, idx)
@@ -268,20 +309,20 @@ class Trainer:
                 x_tail = x_all[start : start + eval_rem]
                 if mesh is not None:
                     x_tail = jax.device_put(x_tail, replicated(mesh))
-                tm = eval_tail_jit(params, x_tail, k_tail)
+                tm = eval_tail_jit(params, x_tail, k_tail, None)
                 w_main = (eval_steps * eval_batch) / n_val
                 w_tail = eval_rem / n_val
                 ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)
             return ms
 
-        def eval_full(params, x_all, key):
+        def eval_full(params, x_all, key, hp=None):
             """Fully in-graph eval incl. the tail fold — same math as
             eval_epoch (trace-safe for the chunked multi-epoch program)."""
             k_main, k_tail = jax.random.split(key)
-            ms = eval_scan(params, x_all, k_main)
+            ms = eval_scan(params, x_all, k_main, hp)
             if eval_rem:
                 start = eval_steps * eval_batch
-                tm = loss_metrics(params, x_all[start : start + eval_rem], k_tail)
+                tm = loss_metrics(params, x_all[start : start + eval_rem], k_tail, hp)
                 w_main = (eval_steps * eval_batch) / n_val
                 w_tail = eval_rem / n_val
                 ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)
@@ -360,13 +401,13 @@ class Trainer:
         es_patience = self._early_patience or 0
         es_min_delta = self.early_stopping.min_delta if es_enabled else 0.0
 
-        def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key):
+        def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key, hp=None):
             # abstract-eval (no FLOPs) the metric pytree structures so the
             # skip branch of the cond can emit NaN rows of matching shape
             tms_shape = jax.eval_shape(
-                lambda p, o, kk: train_body(p, o, x_train, kk)[2], params, opt_state, key
+                lambda p, o, kk: train_body(p, o, x_train, kk, hp)[2], params, opt_state, key
             )
-            vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk), params, key)
+            vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk, hp), params, key)
             nan_of = lambda tree: jax.tree.map(
                 lambda s: jnp.full(s.shape, jnp.nan, s.dtype), tree
             )
@@ -384,8 +425,8 @@ class Trainer:
                     opt_state = opt_state._replace(
                         hyperparams=dict(opt_state.hyperparams, learning_rate=lr)
                     )
-                    params, opt_state, tms = train_body(params, opt_state, x_train, ek)
-                    vms = eval_full(params, x_val, vk)
+                    params, opt_state, tms = train_body(params, opt_state, x_train, ek, hp)
+                    vms = eval_full(params, x_val, vk, hp)
                     return params, opt_state, tms, vms
 
                 def skip_epoch(args):
@@ -465,6 +506,12 @@ class Trainer:
         }
 
     def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
+        if self.hp_model_fn is not None:
+            raise ValueError(
+                "hp_model_fn trainers sweep hyperparameter LANES — use "
+                "fit_lane_sweep; for a single config construct the model "
+                "concretely and use a plain Trainer"
+            )
         # fresh controller state per fit, so one Trainer can run several
         # fits (e.g. multi-seed parity) without leaking plateau/stop state
         self.plateau = ReduceLROnPlateau(**self._plateau_cfg)
@@ -742,9 +789,25 @@ class Trainer:
 
         return fit_ensemble(self, dm, seeds, epochs_per_dispatch, seed_mesh=seed_mesh)
 
+    def fit_lane_sweep(self, dm: ArrayDataModule, lanes: Sequence[dict],
+                       epochs_per_dispatch: Optional[int] = None,
+                       seed_mesh=None) -> list:
+        """Hyperparameter-lane sweep: every lane (a dict of scalars, e.g.
+        curvature/beta/lr/seed) trains its own model inside ONE vmapped
+        program. Requires ``Trainer(hp_model_fn=...)``; see
+        train/ensemble.py:fit_lane_sweep."""
+        from hyperbolic_vae_tpu.train.ensemble import fit_lane_sweep
+
+        return fit_lane_sweep(self, dm, lanes, epochs_per_dispatch, seed_mesh=seed_mesh)
+
     # ------------------------------------------------------------------ #
 
     def evaluate(self, dm: ArrayDataModule, params, split: str = "test") -> dict:
+        if self.hp_model_fn is not None:
+            raise ValueError(
+                "evaluate needs a concrete model; rebuild one from the "
+                "lane's hparams with a plain Trainer"
+            )
         x = self._stage(getattr(dm, f"x_{split}"))
         n = int(getattr(dm, f"x_{split}").shape[0])
         _, eval_epoch = self._epoch_fns(

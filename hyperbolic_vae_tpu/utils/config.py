@@ -31,6 +31,16 @@ def enable_compilation_cache(cache_dir=None) -> bool:
     """
     if os.environ.get("HVT_NO_COMPILE_CACHE"):
         return False
+    if (
+        os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+        and not os.environ.get("HVT_COMPILE_CACHE")
+        and cache_dir is None
+    ):
+        # CPU-forced runs (tests, dryruns): compiles are fast and CPU AOT
+        # entries are machine-feature-sensitive across processes (XLA
+        # warns about SIGILL risk on reuse) — not worth caching unless
+        # the user opted in with an explicit dir.
+        return False
     try:
         import jax
 

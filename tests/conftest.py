@@ -10,6 +10,9 @@ array is created.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU test tier: skip the persistent compile cache (fast compiles; CPU
+# AOT entries are machine-feature-sensitive across processes)
+os.environ.setdefault("HVT_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

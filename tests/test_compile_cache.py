@@ -1,9 +1,10 @@
 """Persistent XLA compilation cache wiring (utils/config.py).
 
 The cache itself is JAX's; these tests cover OUR wiring: package import
-points jax at the cache dir, the env kill-switch works, and a compiled
-program actually lands in the directory (so fresh processes — and the
-axon relay's 20s-5min compiles — reuse it)."""
+points jax at the cache dir (except on CPU-forced runs), the env kill
+switch works, and a compiled program actually lands in the directory
+(so fresh processes — and the axon relay's 20s-5min compiles — reuse
+it). Subprocess-based: the wiring runs at import time."""
 
 import os
 import subprocess
@@ -13,51 +14,62 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 
-def test_package_import_sets_cache_dir():
-    import jax
-
-    import hyperbolic_vae_tpu  # noqa: F401  (import triggers the wiring)
-
-    from hyperbolic_vae_tpu.utils.config import COMPILE_CACHE_PATH
-
-    assert jax.config.jax_compilation_cache_dir == str(COMPILE_CACHE_PATH)
-
-
-def test_env_kill_switch(tmp_path):
-    """HVT_NO_COMPILE_CACHE=1 must leave the jax config untouched
-    (fresh subprocess: the wiring runs at import time)."""
-    code = (
-        "import jax, hyperbolic_vae_tpu;"
-        "print(repr(jax.config.jax_compilation_cache_dir))"
-    )
-    env = dict(
-        os.environ, HVT_NO_COMPILE_CACHE="1", PYTHONPATH=str(REPO_ROOT),
-        JAX_PLATFORMS="cpu",
-    )
-    out = subprocess.run(
+def _run(code: str, **env_overrides):
+    env = dict(os.environ, PYTHONPATH=str(REPO_ROOT))
+    env.pop("HVT_NO_COMPILE_CACHE", None)  # conftest sets it for THIS proc
+    env.pop("HVT_COMPILE_CACHE", None)
+    for k, v in env_overrides.items():
+        if v is None:
+            env.pop(k, None)
+        else:
+            env[k] = v
+    return subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+
+
+def test_package_import_sets_cache_dir(tmp_path):
+    out = _run(
+        "import hyperbolic_vae_tpu, jax;"
+        "print(repr(jax.config.jax_compilation_cache_dir))",
+        HVT_COMPILE_CACHE=str(tmp_path / "cc"), JAX_PLATFORMS="cpu",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == repr(str(tmp_path / "cc"))
+
+
+def test_env_kill_switch():
+    out = _run(
+        "import hyperbolic_vae_tpu, jax;"
+        "print(repr(jax.config.jax_compilation_cache_dir))",
+        HVT_NO_COMPILE_CACHE="1", JAX_PLATFORMS="cpu",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "None"
+
+
+def test_cpu_forced_runs_skip_cache_by_default():
+    """JAX_PLATFORMS=cpu without an explicit dir: cache off (CPU AOT
+    entries are machine-feature-sensitive across processes)."""
+    out = _run(
+        "import hyperbolic_vae_tpu, jax;"
+        "print(repr(jax.config.jax_compilation_cache_dir))",
+        JAX_PLATFORMS="cpu",
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "None"
 
 
 def test_compiled_program_lands_in_cache(tmp_path):
-    """A jitted program (compile time forced cacheable) writes an entry."""
     code = (
+        "import hyperbolic_vae_tpu;"
         "import jax, jax.numpy as jnp;"
         "jax.config.update('jax_platforms', 'cpu');"
         "jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1);"
         "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0);"
         "print(float(jax.jit(lambda x: (jnp.sin(x) * 3.25).sum())(jnp.arange(64.0))))"
     )
-    env = dict(
-        os.environ, HVT_COMPILE_CACHE=str(tmp_path / "cc"),
-        PYTHONPATH=str(REPO_ROOT), JAX_PLATFORMS="cpu",
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", "import hyperbolic_vae_tpu;" + code],
-        env=env, capture_output=True, text=True,
-    )
+    out = _run(code, HVT_COMPILE_CACHE=str(tmp_path / "cc"), JAX_PLATFORMS="cpu")
     assert out.returncode == 0, out.stderr
     entries = list((tmp_path / "cc").iterdir())
     assert entries, "no cache entry written"

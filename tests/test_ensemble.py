@@ -178,6 +178,94 @@ def test_seed_mesh_rejects_uneven_shard(dm):
         trainer.fit_ensemble(dm, [0, 1, 2], seed_mesh=make_seed_mesh(2))
 
 
+def _gyroplane_hp_fn(hp):
+    return GyroplaneVAE(
+        data_shape=(28, 28, 1), latent_dim=2,
+        manifold_curvature=hp["manifold_curvature"], beta=hp["beta"],
+    )
+
+
+def test_lane_sweep_matches_sequential(dm):
+    """Hyperparameter lanes (curvature x beta x lr grid cells) trained as
+    ONE vmapped program must match per-cell sequential fits. Tolerance is
+    loose-tight (2e-4): traced-vs-constant curvature changes XLA constant
+    folding, so bitwise equality is not expected — but the trajectories
+    must agree to f32 drift, not modeling error."""
+    import jax
+
+    lanes = [
+        {"seed": 42, "manifold_curvature": 0.5, "beta": 1.0, "lr": 1e-3},
+        {"seed": 7, "manifold_curvature": 0.5, "beta": 3.0, "lr": 1e-3},
+        {"seed": 42, "manifold_curvature": 1.4, "beta": 1.0, "lr": 3e-3},
+    ]
+    rep = _gyroplane_hp_fn({"manifold_curvature": 1.0, "beta": 1.0})
+    sweep_tr = Trainer(
+        rep, hp_model_fn=_gyroplane_hp_fn, max_epochs=4, epochs_per_dispatch=2,
+        early_stopping_patience=None, plateau_patience=50, check_finite=False,
+    )
+    sweep = sweep_tr.fit_lane_sweep(dm, lanes)
+    assert sweep[0].samples_per_sec > 0
+    for lane, r in zip(lanes, sweep):
+        m = _gyroplane_hp_fn(lane)
+        t = Trainer(
+            m, lr=lane["lr"], max_epochs=4, epochs_per_dispatch=2,
+            seed=lane["seed"], early_stopping_patience=None,
+            plateau_patience=50, check_finite=False,
+        )
+        seq = t.fit(dm)
+        np.testing.assert_allclose(
+            [h["val/loss_total"] for h in r.history],
+            [h["val/loss_total"] for h in seq.history],
+            rtol=2e-4,
+        )
+        assert [h["lr"] for h in r.history] == [h["lr"] for h in seq.history]
+        np.testing.assert_allclose(r.best_metric, seq.best_metric, rtol=2e-4)
+        # NOTE: final params are deliberately not compared element-wise —
+        # traced-vs-constant curvature gives ~1e-6 per-step drift that
+        # optimization amplifies chaotically (observed 0.3% on isolated
+        # near-zero weights after 4 epochs at lr 3e-3). The per-epoch
+        # loss/LR histories above are the semantic contract.
+
+
+def test_lane_sweep_composes_with_seed_mesh(dm):
+    import jax
+
+    from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    lanes = [
+        {"manifold_curvature": c, "beta": b}
+        for c in (0.5, 1.4) for b in (1.0, 3.0)
+    ]
+    rep = _gyroplane_hp_fn(lanes[0])
+    tr = Trainer(
+        rep, hp_model_fn=_gyroplane_hp_fn, max_epochs=4, epochs_per_dispatch=2,
+        early_stopping_patience=None, plateau_patience=50, check_finite=False,
+    )
+    plain = tr.fit_lane_sweep(dm, lanes)
+    sharded = tr.fit_lane_sweep(dm, lanes, seed_mesh=make_seed_mesh(2))
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(
+            *map(np.asarray, (_histories(a), _histories(b))), rtol=0, atol=0
+        )
+
+
+def test_hp_trainer_guards(dm):
+    rep = _gyroplane_hp_fn({"manifold_curvature": 1.0, "beta": 1.0})
+    tr = Trainer(rep, hp_model_fn=_gyroplane_hp_fn, max_epochs=2, check_finite=False)
+    with pytest.raises(ValueError, match="fit_lane_sweep"):
+        tr.fit(dm)
+    with pytest.raises(ValueError, match="lane_hparams"):
+        tr.fit_ensemble(dm, [0, 1])
+    with pytest.raises(ValueError, match="same hparam keys"):
+        tr.fit_lane_sweep(dm, [{"manifold_curvature": 1.0, "beta": 1.0},
+                               {"manifold_curvature": 1.0}])
+    plain = Trainer(rep, max_epochs=2, check_finite=False)
+    with pytest.raises(ValueError, match="hp_model_fn"):
+        plain.fit_lane_sweep(dm, [{"manifold_curvature": 1.0}])
+
+
 def test_ensemble_rejects_unsupported_modes(dm, tmp_path):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
     t = Trainer(model, max_epochs=2, checkpoint_dir=str(tmp_path / "ck"))
