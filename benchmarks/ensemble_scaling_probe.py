@@ -78,15 +78,15 @@ def main():
         )
 
     def time_dispatch(fn, n_seeds, reps=3):
-        # compile + warm
+        # compile + warm (trailing None = the hp-lane slot, unused here)
         st = states(n_seeds)
-        out = fn(*st[:4], xt, xv, st[4])
+        out = fn(*st[:4], xt, xv, st[4], None)
         float(jax.tree.leaves(out[3])[0][0])  # host sync (axon: block_until_ready returns at enqueue)
         times = []
         for _ in range(reps):
             st = states(n_seeds)
             t0 = time.perf_counter()
-            out = fn(*st[:4], xt, xv, st[4])
+            out = fn(*st[:4], xt, xv, st[4], None)
             float(jax.tree.leaves(out[3])[0][0])
             times.append(time.perf_counter() - t0)
         return min(times)

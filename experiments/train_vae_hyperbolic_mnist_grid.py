@@ -27,6 +27,18 @@ from train_vae_euclidean_mnist import pad_to_32
 
 def lane_sweep_grid(args, run_dir, dm):
     """One fit_lane_sweep per (latent_dim, enc, dec) shape group."""
+    from hyperbolic_vae_tpu.train.ensemble import evaluate_lanes
+
+    if args.use_mesh:
+        raise SystemExit(
+            "--use-mesh (data parallelism) does not compose with "
+            "--lane-sweep; shard the lanes themselves with --seed-mesh N"
+        )
+    seed_mesh = None
+    if args.seed_mesh:
+        from hyperbolic_vae_tpu.parallel import make_seed_mesh
+
+        seed_mesh = make_seed_mesh(args.seed_mesh)
     results = {}
     for latent_dim, enc, dec in itertools.product(
         args.latent_dims, args.encoder_lasts, args.decoder_firsts
@@ -54,14 +66,14 @@ def lane_sweep_grid(args, run_dir, dm):
                 **trainer_extra(args),
             )
             t0 = time.perf_counter()
-            sweep = trainer.fit_lane_sweep(dm, lanes)
+            sweep = trainer.fit_lane_sweep(dm, lanes, seed_mesh=seed_mesh)
+            # ONE vmapped eval program for the whole group (a concrete
+            # Trainer.evaluate per cell would re-pay a relay compile per
+            # cell — the cost lanes exist to remove)
+            tests = evaluate_lanes(trainer, dm, sweep, lanes, "test")
             wall = time.perf_counter() - t0
-            for lane, r in zip(lanes, sweep):
+            for lane, r, test in zip(lanes, sweep, tests):
                 tag = f"c{lane['manifold_curvature']}_b{lane['beta']}_{group}"
-                ev = Trainer(
-                    model_fn(lane), lr=args.lr, seed=args.seed, check_finite=False
-                )
-                test = ev.evaluate(dm, r.best_params, "test")
                 results[tag] = dict(test, epochs=r.epochs_run,
                                     best_val=r.best_metric)
                 print(tag, results[tag])
@@ -85,6 +97,11 @@ if __name__ == "__main__":
         "--lane-sweep", action="store_true",
         help="train each shape group's (curvature x beta) cells as vmapped "
         "lanes of one compiled program instead of sequential fits",
+    )
+    parser.add_argument(
+        "--seed-mesh", type=int, default=0,
+        help="with --lane-sweep: shard the lanes over this many devices "
+        "(1-D 'seed' mesh); 0 = off",
     )
     args = parser.parse_args()
     run_dir = setup(args, "vae_hyperbolic_mnist_grid")

@@ -37,6 +37,12 @@ from jax.scipy.special import erf, gammaln, logsumexp
 
 from hyperbolic_vae_tpu.manifolds import PoincareBall, log_sinh_ratio
 
+
+def _sqrt_c(c):
+    """sqrt(c) that stays a Python float for static curvature and becomes
+    a jnp scalar for traced curvature (hyperparameter-lane sweeps)."""
+    return math.sqrt(c) if isinstance(c, (int, float)) else jnp.sqrt(c)
+
 _GRID_SIZE = 512
 
 
@@ -67,7 +73,7 @@ def log_radius_normalizer_closed_form(sigma: jax.Array, c: float, dim: int) -> j
     if n == 0:
         # half-Gaussian integral
         return jnp.log(sigma) + 0.5 * math.log(math.pi / 2.0)
-    sqrt_c = math.sqrt(c)
+    sqrt_c = _sqrt_c(c)
     k = jnp.arange(n + 1, dtype=jnp.float32)
     log_binom = (
         gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
@@ -104,7 +110,7 @@ def log_radius_normalizer(sigma: jax.Array, c: float, dim: int) -> jax.Array:
         # half-Gaussian integral
         return jnp.log(sigma) + 0.5 * math.log(math.pi / 2.0)
     sigma = jnp.asarray(sigma, dtype=jnp.float32)
-    r_max = n * math.sqrt(c) * sigma * sigma + 8.0 * sigma + 1e-2
+    r_max = n * _sqrt_c(c) * sigma * sigma + 8.0 * sigma + 1e-2
     grid = jnp.linspace(0.0, 1.0, _GRID_SIZE, dtype=jnp.float32)
     r_grid = r_max[..., None] * grid  # (..., G)
     logp = _log_radius_density_unnorm(r_grid, sigma[..., None], c, dim)
@@ -123,7 +129,7 @@ def log_sphere_area(dim: int) -> float:
 
 def _log_radius_density_unnorm(r: jax.Array, sigma: jax.Array, c: float, dim: int) -> jax.Array:
     """Unnormalized log p(r) ∝ -r^2/(2 s^2) + (d-1) log(sinh(sqrt c r)/sqrt c)."""
-    sqrt_c = math.sqrt(c)
+    sqrt_c = _sqrt_c(c)
     t = sqrt_c * r
     # log sinh(t)/sqrt(c) = log(sinh(t)/t) + log(t) - log(sqrt c) = log_sinh_ratio + log(r)
     log_sinh_term = log_sinh_ratio(t) + jnp.log(jnp.maximum(r, 1e-30))
@@ -137,7 +143,7 @@ def sample_radius(
     w.r.t. sigma through the grid CDF."""
     sigma = jnp.asarray(sigma, dtype=jnp.float32)
     # Mode of p(r) is near (d-1) sqrt(c) sigma^2 for large arg; cover mode + 8 sigma.
-    r_max = (dim - 1) * math.sqrt(c) * sigma * sigma + 8.0 * sigma + 1e-2
+    r_max = (dim - 1) * _sqrt_c(c) * sigma * sigma + 8.0 * sigma + 1e-2
     grid = jnp.linspace(0.0, 1.0, grid_size, dtype=jnp.float32)
     r_grid = r_max[..., None] * grid  # (..., G)
     logp = _log_radius_density_unnorm(r_grid, sigma[..., None], c, dim)

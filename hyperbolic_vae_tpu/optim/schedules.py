@@ -39,6 +39,12 @@ class ReduceLROnPlateau:
     best: float = math.inf
     num_bad_epochs: int = 0
 
+    def __post_init__(self):
+        # the whole controller pipeline is f32 (bit parity with the
+        # in-graph mirror): quantize the starting lr too, so recorded
+        # histories agree from epoch 0, not only after the first drop
+        self.lr = float(np.float32(self.lr))
+
     def step(self, metric: float) -> float:
         if np.float32(metric) < np.float32(self.best) * (
             np.float32(1.0) - np.float32(self.threshold)
@@ -48,12 +54,17 @@ class ReduceLROnPlateau:
         else:
             self.num_bad_epochs += 1
         if self.num_bad_epochs > self.patience:
-            self.lr = float(
+            new_lr = float(
                 np.maximum(
                     np.float32(self.lr) * np.float32(self.factor),
                     np.float32(self.min_lr),
                 )
             )
+            # torch only APPLIES a reduction (old - new > eps): an lr
+            # already below min_lr (e.g. a per-lane lr sweep point) must
+            # never be raised to min_lr
+            if new_lr < self.lr:
+                self.lr = new_lr
             self.num_bad_epochs = 0
         return self.lr
 

@@ -302,6 +302,38 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
     return results
 
 
+def evaluate_lanes(trainer, dm: ArrayDataModule, results, lanes: Sequence[dict],
+                   split: str = "test") -> list:
+    """Evaluate every lane's best params on a split with ONE vmapped
+    program (per-lane ``Trainer.evaluate`` would bake each lane's
+    curvature/beta into its own XLA program — one multi-minute relay
+    compile per grid cell, exactly the cost lane sweeps exist to
+    remove). ``lanes`` as given to ``fit_lane_sweep`` (seed/lr entries
+    are ignored here). Returns one ``{split}/...`` metric dict per lane.
+    """
+    if trainer.hp_model_fn is None:
+        raise ValueError("evaluate_lanes requires Trainer(hp_model_fn=...)")
+    hp_keys = sorted(set(lanes[0]) - {"seed", "lr"})
+    hp_stack = {
+        name: jnp.asarray([float(l[name]) for l in lanes], jnp.float32)
+        for name in hp_keys
+    }
+    best = _stack([r.best_params for r in results])
+    x = trainer._stage(getattr(dm, f"x_{split}"))
+    n = int(getattr(dm, f"x_{split}").shape[0])
+    cache_key = (max(n, dm.batch_size), dm.batch_size, n)
+    trainer._epoch_fns(*cache_key)  # fills the body cache
+    _, eval_full = trainer._body_fns_cache[cache_key]
+    fn = jax.jit(jax.vmap(eval_full, in_axes=(0, None, None, {k: 0 for k in hp_keys})))
+    ms = jax.device_get(
+        fn(best, x, jax.random.PRNGKey(trainer.seed + 1), hp_stack)
+    )
+    return [
+        {f"{split}/{m}": float(v[s]) for m, v in ms.items()}
+        for s in range(len(lanes))
+    ]
+
+
 def fit_lane_sweep(trainer, dm: ArrayDataModule, lanes: Sequence[dict],
                    epochs_per_dispatch: Optional[int] = None,
                    seed_mesh=None) -> list:

@@ -452,8 +452,11 @@ class Trainer:
                 pl_best = jnp.where(improved, mon, ctrl["pl_best"])
                 pl_bad = jnp.where(improved, 0, ctrl["pl_bad"] + 1)
                 trip = pl_bad > pl_patience
+                # reductions only (torch eps-guard): a per-lane lr below
+                # min_lr must never be RAISED to min_lr on a trip
+                pl_cand = jnp.maximum(ctrl["pl_lr"] * pl_factor, pl_min_lr)
                 pl_lr = jnp.where(
-                    trip, jnp.maximum(ctrl["pl_lr"] * pl_factor, pl_min_lr), ctrl["pl_lr"]
+                    trip & (pl_cand < ctrl["pl_lr"]), pl_cand, ctrl["pl_lr"]
                 )
                 pl_bad = jnp.where(trip, 0, pl_bad)
                 # controllers only step on finite monitors (K=1 parity)
@@ -825,6 +828,13 @@ class Trainer:
         20k-gene split encodes without materializing a single giant
         apply. The Inferencer (and its compiled programs) is cached on
         the Trainer; params are swapped in per call."""
+        if self.hp_model_fn is not None:
+            # silently embedding lane params with the REPRESENTATIVE
+            # model's curvature would be wrong for every other lane
+            raise ValueError(
+                "encode_split needs a concrete model; rebuild one from "
+                "the lane's hparams with a plain Trainer"
+            )
         x = np.asarray(getattr(dm, f"x_{split}"), np.float32)
         bs = int(batch_size or dm.batch_size)
         if self.mesh is not None:

@@ -10,7 +10,7 @@ CHECKPOINTS_PATH = PROJECT_ROOT / "checkpoints"
 RUNS_PATH = PROJECT_ROOT / "runs"
 
 COMPILE_CACHE_PATH = Path(
-    os.environ.get("HVT_COMPILE_CACHE", "~/.cache/hyperbolic_vae_tpu/xla")
+    os.environ.get("HVT_COMPILE_CACHE") or "~/.cache/hyperbolic_vae_tpu/xla"
 ).expanduser()
 
 
@@ -31,15 +31,16 @@ def enable_compilation_cache(cache_dir=None) -> bool:
     """
     if os.environ.get("HVT_NO_COMPILE_CACHE"):
         return False
-    if (
+    cpu_forced = (
         os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
-        and not os.environ.get("HVT_COMPILE_CACHE")
-        and cache_dir is None
-    ):
-        # CPU-forced runs (tests, dryruns): compiles are fast and CPU AOT
-        # entries are machine-feature-sensitive across processes (XLA
-        # warns about SIGILL risk on reuse) — not worth caching unless
-        # the user opted in with an explicit dir.
+        or os.environ.get("HVAE_FORCE_CPU")  # experiments' CPU switch
+    )
+    if cpu_forced and not os.environ.get("HVT_COMPILE_CACHE") and cache_dir is None:
+        # CPU-forced runs (tests, dryruns, HVAE_FORCE_CPU experiment
+        # runs): compiles are fast and CPU AOT entries are
+        # machine-feature-sensitive across processes (XLA warns about
+        # SIGILL risk on reuse) — not worth caching unless the user
+        # opted in with an explicit dir.
         return False
     try:
         import jax

@@ -83,15 +83,17 @@ def test_chunked_matches_unchunked_across_lr_drops(dm):
     (including the recorded per-epoch lr) are bit-identical."""
 
     def fit(k):
-        # lr=0 + patience=0 + min_lr>0: the monitor fluctuates with only
-        # sampling noise, so the first non-improving epoch (deterministic
-        # given the fixed PRNG stream) trips the plateau and CHANGES the
-        # lr (max(0*factor, min_lr) = min_lr) — a guaranteed in-run LR
-        # change, unlike a converging run that may improve every epoch.
+        # tiny lr + patience=0: training barely moves, so the monitor
+        # fluctuates with only sampling noise and the first non-improving
+        # epoch (deterministic given the fixed PRNG stream) trips the
+        # plateau and REDUCES the lr (1e-6 -> 5e-7) — a guaranteed
+        # in-run LR change, unlike a converging run that may improve
+        # every epoch. (lr=0 no longer works as the trigger: torch-
+        # faithful plateau never RAISES an lr to min_lr.)
         model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
         trainer = Trainer(
-            model, lr=0.0, max_epochs=12, early_stopping_patience=None,
-            plateau_patience=0, plateau_factor=0.5, plateau_min_lr=1e-4,
+            model, lr=1e-6, max_epochs=12, early_stopping_patience=None,
+            plateau_patience=0, plateau_factor=0.5, plateau_min_lr=1e-8,
             epochs_per_dispatch=k, check_finite=False,
         )
         return trainer.fit(dm)

@@ -251,6 +251,39 @@ def test_lane_sweep_composes_with_seed_mesh(dm):
         )
 
 
+def test_lane_sweep_riemannian_posterior(dm):
+    """Traced curvature must flow through the RiemannianNormal stack too
+    (quadrature radius normalizer + inverse-CDF sampler) — the _9
+    replication grid's riemannian cells as lanes."""
+    from hyperbolic_vae_tpu.models import PvaeMLPVAE
+    from hyperbolic_vae_tpu.train.ensemble import evaluate_lanes
+
+    def model_fn(hp):
+        return PvaeMLPVAE(
+            data_shape=(28, 28, 1), hidden_dim=64, posterior="riemannian",
+            latent_dim=2, manifold_curvature=hp["manifold_curvature"],
+        )
+
+    lanes = [{"manifold_curvature": 0.5}, {"manifold_curvature": 1.4}]
+    tr = Trainer(
+        model_fn(lanes[0]), hp_model_fn=model_fn, max_epochs=2,
+        epochs_per_dispatch=2, early_stopping_patience=None,
+        plateau_patience=50, check_finite=False,
+    )
+    sweep = tr.fit_lane_sweep(dm, lanes)
+    for r in sweep:
+        vals = [h["val/loss_total"] for h in r.history]
+        assert all(np.isfinite(vals)), vals
+    # one vmapped eval program for all lanes == per-lane concrete evals
+    tests = evaluate_lanes(tr, dm, sweep, lanes, "test")
+    for lane, r, test in zip(lanes, sweep, tests):
+        ev = Trainer(model_fn(lane), max_epochs=1, check_finite=False, seed=tr.seed)
+        direct = ev.evaluate(dm, r.best_params, "test")
+        np.testing.assert_allclose(
+            test["test/loss_total"], direct["test/loss_total"], rtol=1e-4
+        )
+
+
 def test_hp_trainer_guards(dm):
     rep = _gyroplane_hp_fn({"manifold_curvature": 1.0, "beta": 1.0})
     tr = Trainer(rep, hp_model_fn=_gyroplane_hp_fn, max_epochs=2, check_finite=False)

@@ -112,3 +112,34 @@ def test_eval_checkpoints_cli_model_agnostic(tmp_path):
     )
     assert "GyroplaneVAE" in out and "UnifiedVAE" in out
     assert out.count("test/loss_total") >= 2
+
+
+def test_grid_cli_sequential(tmp_path):
+    out = run_script(
+        "train_vae_hyperbolic_mnist_grid.py",
+        "--synthetic", "--n-train", "128",
+        "--curvatures", "1.0", "--betas", "1.0",
+        "--encoder-lasts", "linear", "--decoder-firsts", "geodesic",
+        "--run-dir", str(tmp_path),
+    )
+    assert "c1.0_b1.0_d2_linear_geodesic" in out
+    assert (tmp_path / "grid_results.json").exists()
+
+
+def test_grid_cli_lane_sweep(tmp_path):
+    """(curvature x beta) cells as vmapped lanes of ONE program."""
+    out = run_script(
+        "train_vae_hyperbolic_mnist_grid.py",
+        "--synthetic", "--n-train", "128",
+        "--lane-sweep",
+        "--curvatures", "0.5", "1.4", "--betas", "1.0",
+        "--encoder-lasts", "linear", "--decoder-firsts", "geodesic",
+        "--run-dir", str(tmp_path),
+    )
+    assert "2 lanes in ONE program" in out
+    assert "c0.5_b1.0_d2_linear_geodesic" in out
+    assert "c1.4_b1.0_d2_linear_geodesic" in out
+    import json
+
+    results = json.loads((tmp_path / "grid_results.json").read_text())
+    assert all(v is not None for v in results.values()), results

@@ -284,3 +284,18 @@ def test_trainer_moment_dtype_plumbs_through():
     losses = [h["train/loss_total"] for h in r.history]
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_plateau_never_raises_lr():
+    """torch ReduceLROnPlateau applies a new lr only when it is a
+    REDUCTION — an lr already below min_lr (per-lane lr sweep points)
+    must survive a plateau trip unchanged."""
+    from hyperbolic_vae_tpu.optim import ReduceLROnPlateau
+
+    pl = ReduceLROnPlateau(lr=1e-5, factor=0.2, patience=0, min_lr=5e-5)
+    pl.step(1.0)  # sets best
+    lr = pl.step(2.0)  # non-improving -> trips
+    assert lr == 1e-5  # NOT raised to min_lr
+    pl2 = ReduceLROnPlateau(lr=1e-3, factor=0.2, patience=0, min_lr=5e-5)
+    pl2.step(1.0)
+    assert abs(pl2.step(2.0) - 2e-4) < 1e-9  # normal reduction still applies (f32)
