@@ -69,6 +69,26 @@ def test_pvae_replicate_cli(tmp_path):
     assert "iwae_50" in out
 
 
+def test_pvae_replicate_cli_lane_sweep(tmp_path):
+    """Each (posterior, latent_dim) group's curvature cells as vmapped
+    lanes of one program, IWAE eval vmapped over lanes too."""
+    import json
+
+    out = run_script(
+        "pvae_replicate.py",
+        "--synthetic", "--n-train", "256", "--posteriors", "wrapped",
+        "--curvatures", "0.5", "1.4", "--iwae-k", "20",
+        "--lane-sweep", "--run-dir", str(tmp_path),
+    )
+    assert "wrapped_c0.5_d2" in out and "wrapped_c1.4_d2" in out
+    results = json.loads((tmp_path / "replicate_results.json").read_text())
+    assert set(results) == {"wrapped_c0.5_d2", "wrapped_c1.4_d2"}
+    assert all(
+        v is not None and v == v
+        for r in results.values() for v in r.values()
+    ), results
+
+
 def test_ae_cifar10_cli(tmp_path):
     out = run_script(
         "train_ae_euclidean_cifar10.py",
