@@ -30,6 +30,12 @@ if __name__ == "__main__":
     parser.add_argument("--recon", type=str, default="MSE")
     parser.add_argument("--last-activation", type=str, default="sigmoid")
     parser.add_argument("--tp", type=int, default=1, help="model-axis size (tensor parallelism over the wide layers)")
+    parser.add_argument(
+        "--stream-block-rows", type=int, default=0,
+        help="train with HOST-resident data streamed through the device in"
+        " double-buffered blocks of this many rows (for splits larger than"
+        " HBM; 0 = stage the whole split on device)",
+    )
     parser.set_defaults(batch_size=64)
     args = parser.parse_args()
     run_dir = setup(args, "vaes_rnaseq")
@@ -88,5 +94,8 @@ if __name__ == "__main__":
         param_sharding_fn=param_sharding_fn,
         **trainer_extra(args),
     )
-    result = trainer.fit(dm)
+    if args.stream_block_rows:
+        result = trainer.fit_streamed(dm, block_rows=args.stream_block_rows)
+    else:
+        result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

@@ -134,6 +134,9 @@ class Trainer:
         # (the reference ships torch-tb-profiler but never wires it,
         # SURVEY section 5.1 — here it's a first-class flag)
         self.profile_dir = profile_dir
+        # host-resident-data streaming (set by fit_streamed, never directly)
+        self._stream_rows = None
+        self._stream_reshuffle = "block_order"
 
         ball = getattr(model, "ball", None) or PoincareBall(c=1.0)
         # only learning_rate is injected (mutable without recompile);
@@ -508,6 +511,108 @@ class Trainer:
             "stopped": jnp.asarray(False),
         }
 
+    def _make_streamed_epoch(self, dm: ArrayDataModule, block_rows: int, n_val: int):
+        """Build a train-epoch callable for HOST-RESIDENT training data
+        (datasets larger than device HBM — the one capacity ceiling of the
+        stage-once design, data/core.py docstring).
+
+        The epoch is J = n_train // block_rows equal blocks. Each block is
+        one already-compiled scan program (the per-block shapes are
+        constant, so XLA compiles exactly once); the NEXT block's
+        host->device transfer is enqueued right after the current block's
+        dispatch, so the copy overlaps device compute (double buffering —
+        peak HBM is two blocks + params/opt state/activations).
+
+        Shuffling: block ORDER is host-permuted per epoch and rows are
+        shuffled on-device within each block (self.shuffle semantics), i.e.
+        shuffled-shards + in-shard shuffle. ``stream_reshuffle='rows'``
+        additionally re-assigns rows to blocks each epoch via a full host
+        permutation (exact mixing incl. the n %% block_rows tail, at the
+        cost of a host gather per block). With J == 1 the closure reduces
+        to the resident path's train_epoch call bit-for-bit. Each block
+        trains block_rows // batch_size steps — the in-block remainder is
+        dropped exactly as the resident path drops n %% batch_size.
+        """
+        x_host = dm.x_train  # numpy or np.memmap — NEVER staged whole
+        n_train = int(x_host.shape[0])
+        bs = dm.batch_size
+        if block_rows < bs:
+            raise ValueError(f"block_rows {block_rows} < batch_size {bs}")
+        if self.mesh is not None and block_rows % self.mesh.shape["data"]:
+            raise ValueError("block_rows must shard evenly over the mesh 'data' axis")
+        j_blocks = n_train // block_rows
+        if j_blocks < 1:
+            raise ValueError(f"block_rows {block_rows} > n_train {n_train}")
+        block_fn, _ = self._epoch_fns(block_rows, bs, n_val)
+        mesh = self.mesh
+        reshuffle = self._stream_reshuffle
+        epoch_counter = {"n": 0}
+
+        def put(block_np):
+            b = np.asarray(block_np, np.float32)
+            if mesh is not None:
+                return jax.device_put(b, data_sharding(mesh, b.ndim))
+            return jax.device_put(b)
+
+        def train_epoch(params, opt_state, _x_unused, key):
+            e = epoch_counter["n"]
+            epoch_counter["n"] += 1
+            rng = np.random.default_rng((self.seed, 0x5EED, e))
+            if reshuffle == "rows" and j_blocks > 1:
+                perm = rng.permutation(n_train)[: j_blocks * block_rows]
+                slices = [
+                    x_host[perm[j * block_rows : (j + 1) * block_rows]]
+                    for j in range(j_blocks)
+                ]
+            else:
+                order = rng.permutation(j_blocks) if j_blocks > 1 else np.arange(1)
+                slices = [
+                    x_host[j * block_rows : (j + 1) * block_rows] for j in order
+                ]
+            ms_list = []
+            cur = put(slices[0])
+            for i in range(j_blocks):
+                kk = key if j_blocks == 1 else jax.random.fold_in(key, i)
+                params, opt_state, ms = block_fn(params, opt_state, cur, kk)
+                # enqueue the next block's H2D while this block computes
+                cur = put(slices[i + 1]) if i + 1 < j_blocks else None
+                ms_list.append(ms)
+            if j_blocks == 1:
+                return params, opt_state, ms_list[0]
+            mean_ms = jax.tree.map(lambda *xs: sum(xs) / j_blocks, *ms_list)
+            return params, opt_state, mean_ms
+
+        train_epoch.steps_per_epoch = j_blocks * (block_rows // bs)
+        return train_epoch
+
+    def fit_streamed(
+        self,
+        dm: ArrayDataModule,
+        block_rows: int,
+        params=None,
+        resume: bool = False,
+        reshuffle: str = "block_order",  # "block_order" | "rows"
+    ) -> TrainResult:
+        """``fit`` for training splits that do NOT fit in device HBM:
+        ``dm.x_train`` stays on the host (numpy or np.memmap) and streams
+        through the device in double-buffered blocks of ``block_rows``
+        rows (see _make_streamed_epoch). Controllers, checkpointing,
+        metrics and RNG discipline are the K=1 host loop's; with
+        block_rows == n_train the history is bit-identical to ``fit``.
+
+        Not composable with epochs_per_dispatch>1 (each epoch is already
+        J dispatches) or hp_model_fn lanes. ``x_val`` stays device-
+        resident — pass a subsampled val split at extreme scale."""
+        assert reshuffle in ("block_order", "rows"), reshuffle
+        if self.epochs_per_dispatch > 1:
+            raise ValueError("fit_streamed does not compose with epochs_per_dispatch>1")
+        self._stream_rows = int(block_rows)
+        self._stream_reshuffle = reshuffle
+        try:
+            return self.fit(dm, params=params, resume=resume)
+        finally:
+            self._stream_rows = None
+
     def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
         if self.hp_model_fn is not None:
             raise ValueError(
@@ -546,12 +651,19 @@ class Trainer:
                     self.early_stopping.wait = int(meta.get("early_wait", 0))
                 logger.info("resumed from epoch %d", start_epoch)
 
-        x_train = self._stage(dm.x_train)
-        x_val = self._stage(dm.x_val)
         n_train = int(dm.x_train.shape[0])
-        train_epoch, eval_epoch = self._epoch_fns(
-            n_train, dm.batch_size, int(dm.x_val.shape[0])
-        )
+        n_val = int(dm.x_val.shape[0])
+        stream_rows = getattr(self, "_stream_rows", None)
+        if stream_rows:
+            # host-resident training data (fit_streamed): blocks stream
+            # through the device; never stage the whole split
+            x_train = None
+            train_epoch = self._make_streamed_epoch(dm, stream_rows, n_val)
+            _, eval_epoch = self._epoch_fns(stream_rows, dm.batch_size, n_val)
+        else:
+            x_train = self._stage(dm.x_train)
+            train_epoch, eval_epoch = self._epoch_fns(n_train, dm.batch_size, n_val)
+        x_val = self._stage(dm.x_val)
 
         self.metric_logger.log_hparams(
             {
@@ -571,7 +683,9 @@ class Trainer:
         # copy, not reference: params is donated to the first epoch call, so
         # if the monitor is never finite best_params must not alias freed HBM
         best_params = jax.tree.map(jnp.copy, params)
-        steps = n_train // dm.batch_size
+        steps = (
+            train_epoch.steps_per_epoch if stream_rows else n_train // dm.batch_size
+        )
         samples_per_epoch = steps * dm.batch_size
         total_samples = 0
         t_start = None  # set after the first (compile) epoch

@@ -60,6 +60,15 @@ def test_rnaseq_cli(tmp_path):
     assert "test:" in out
 
 
+def test_rnaseq_streamed_cli(tmp_path):
+    # host-resident data path: 2 double-buffered blocks of 64 rows
+    out = run_script(
+        "train_vaes_rnaseq.py",
+        "--fake", "--run-dir", str(tmp_path), "--stream-block-rows", "64",
+    )
+    assert "test:" in out
+
+
 def test_pvae_replicate_cli(tmp_path):
     out = run_script(
         "pvae_replicate.py",
