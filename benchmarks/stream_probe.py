@@ -71,7 +71,7 @@ def main():
 
     def make_trainer():
         model = RNASeqVAE(
-            data_shape=dm.input_shape, latent_dim=2, hidden_dim=args.hidden
+            in_features=args.genes, latent_dim=2, hidden_dim=args.hidden
         )
         return Trainer(
             model, max_epochs=args.epochs, early_stopping_patience=None,
@@ -108,17 +108,17 @@ def main():
         rs = make_trainer().fit_streamed(dm, block_rows=args.rows // j)
         sps = rs.samples_per_sec
         epoch_s = (args.rows // args.batch_size) * args.batch_size / max(sps, 1e-9)
-        # overlap: how much of (full H2D + resident compute) the streamed
-        # epoch hides; 1.0 = perfect double-buffering, 0.0 = fully serial
-        serial_s = split_h2d_s + resident_epoch_s
-        hidden = serial_s - epoch_s
+        # In the transfer-bound regime (tunnel H2D << compute rate) the
+        # honest characterization is the effective transfer rate the
+        # streamed epoch achieves and how much of the epoch is transfer;
+        # overlap only becomes visible when compute is comparable to H2D.
+        xfer_s = max(epoch_s - resident_epoch_s, 1e-9)
         out[f"streamed_j{j}"] = {
             "block_mb": round(block_mb(j), 1),
             "samples_per_sec": round(sps, 1),
             "epoch_ms": round(epoch_s * 1e3, 1),
-            "overlap_efficiency": round(
-                hidden / min(split_h2d_s, resident_epoch_s), 3
-            ),
+            "effective_h2d_mb_per_s": round(out["split_mb"] / xfer_s, 1),
+            "transfer_bound_fraction": round(xfer_s / epoch_s, 3),
         }
         print(j, out[f"streamed_j{j}"], flush=True)
 

@@ -3,7 +3,7 @@ from hyperbolic_vae_tpu.train.callbacks import (
     LatentGridCallback,
     LatentScatterCallback,
 )
-from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager
+from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager, restore_model
 from hyperbolic_vae_tpu.train.factories import make_trainer_hyperbolic
 from hyperbolic_vae_tpu.train.metrics import MetricLogger
 from hyperbolic_vae_tpu.train.trainer import Trainer, TrainResult
@@ -13,6 +13,7 @@ __all__ = [
     "TrainResult",
     "MetricLogger",
     "CheckpointManager",
+    "restore_model",
     "make_trainer_hyperbolic",
     "GenerateCallback",
     "LatentScatterCallback",

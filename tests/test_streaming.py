@@ -88,6 +88,19 @@ def test_streamed_with_data_mesh(dm):
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
 
 
+def test_streamed_evaluate_matches_resident_weighting(dm):
+    tr = _trainer(dm, max_epochs=2)
+    r = tr.fit(dm)
+    res = tr.evaluate(dm, r.best_params, "test")
+    # blocks of 48 over 128 test rows: 2 full + 1 partial (32) block —
+    # exercises the tail-weighting path. Sample-RNG streams differ, so
+    # agreement is statistical, not bitwise.
+    st = tr.evaluate(dm, r.best_params, "test", stream_block_rows=48)
+    for k in res:
+        assert np.isfinite(st[k])
+        np.testing.assert_allclose(st[k], res[k], rtol=0.05)
+
+
 def test_streamed_rejects_bad_config(dm):
     with pytest.raises(ValueError, match="< batch_size"):
         _trainer(dm).fit_streamed(dm, block_rows=32)
