@@ -217,3 +217,121 @@ class Inferencer:
                 x = np.zeros((k * self.batch_size,) + shape, np.float32)
                 getattr(self, method)(x)
         return self
+
+    # ------------------------------------------------------------------ #
+
+    def export_programs(self, out_dir, methods: tuple = ("encode", "decode", "reconstruct"),
+                        data_shape: Optional[tuple] = None,
+                        latent_dim: Optional[int] = None):
+        """Serialize the FULL bucketed program set as a self-contained
+        serving bundle: jax.export StableHLO per (method, bucket), the
+        params as an npz, and a JSON manifest. A serving process loads it
+        with ``ExportedInferencer.load(dir)`` and serves WITHOUT the
+        model's Python class and without retracing — the deployment
+        artifact is the bundle, not the training codebase. Programs are
+        exported unsharded (single-device serving)."""
+        import json
+        from pathlib import Path
+
+        from jax import export as jexport
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        data_shape = tuple(data_shape or self.model.data_shape)
+        latent_dim = int(latent_dim or getattr(self.model, "latent_dim"))
+        pspec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), self.params
+        )
+        feat = {m: ((latent_dim,) if m == "decode" else data_shape) for m in methods}
+        for method in methods:
+            for k in self._buckets:
+                fn = self._fn(method) if k == 1 else self._fn_k(method, k)
+                shape = ((self.batch_size,) if k == 1 else (k, self.batch_size)) + feat[method]
+                xs = jax.ShapeDtypeStruct(shape, jnp.float32)
+                exp = jexport.export(fn)(pspec, xs)
+                (out / f"{method}_k{k}.stablehlo").write_bytes(exp.serialize())
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
+        keys = ["/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat]
+        np.savez(
+            out / "params.npz",
+            **{f"arr_{i}": np.asarray(v) for i, (_, v) in enumerate(flat)},
+        )
+        (out / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "batch_size": self.batch_size,
+                    "max_batches_per_dispatch": self.max_batches_per_dispatch,
+                    "buckets": self._buckets,
+                    "methods": list(methods),
+                    "data_shape": list(data_shape),
+                    "latent_dim": latent_dim,
+                    "param_paths": keys,
+                }
+            )
+        )
+        return out
+
+
+class ExportedInferencer(Inferencer):
+    """Serve a bundle written by ``Inferencer.export_programs`` — no model
+    class, no flax, no retracing: every program is deserialized StableHLO
+    (jax.export), so the serving image needs only jax + the bundle. The
+    padding/bucketing front-end is inherited unchanged."""
+
+    def __init__(self, programs: dict, params, manifest: dict):
+        self.model = None
+        self.mesh = None
+        self.batch_size = int(manifest["batch_size"])
+        self.max_batches_per_dispatch = int(manifest["max_batches_per_dispatch"])
+        self._buckets = list(manifest["buckets"])
+        self._manifest = manifest
+        self.params = params
+        self._compiled = programs
+
+    @classmethod
+    def load(cls, bundle_dir) -> "ExportedInferencer":
+        import json
+        from pathlib import Path
+
+        from jax import export as jexport
+
+        d = Path(bundle_dir)
+        manifest = json.loads((d / "manifest.json").read_text())
+        npz = np.load(d / "params.npz")
+        params = {}
+        for i, path in enumerate(manifest["param_paths"]):
+            node = params
+            parts = path.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(npz[f"arr_{i}"])
+        programs = {}
+        for method in manifest["methods"]:
+            for k in manifest["buckets"]:
+                exp = jexport.deserialize(
+                    bytearray((d / f"{method}_k{k}.stablehlo").read_bytes())
+                )
+                programs[method if k == 1 else (method, k)] = exp.call
+        return cls(programs, params, manifest)
+
+    def _fn(self, method: str):
+        if method not in self._compiled:
+            raise KeyError(f"method {method!r} was not exported in this bundle")
+        return self._compiled[method]
+
+    def _fn_k(self, method: str, k: int):
+        key = (method, k)
+        if key not in self._compiled:
+            raise KeyError(f"bucket {key} was not exported in this bundle")
+        return self._compiled[key]
+
+    def warmup(self, data_shape: Optional[tuple] = None,
+               methods: Optional[tuple] = None):
+        shape = tuple(data_shape or self._manifest["data_shape"])
+        lat = (self._manifest["latent_dim"],)
+        for method in methods or self._manifest["methods"]:
+            for k in self._buckets:
+                feat = lat if method == "decode" else shape
+                x = np.zeros((k * self.batch_size,) + feat, np.float32)
+                getattr(self, method)(x)
+        return self

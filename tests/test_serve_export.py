@@ -1,0 +1,82 @@
+"""Exported serving bundles: jax.export StableHLO programs + params npz.
+
+`Inferencer.export_programs` writes a self-contained deployment artifact;
+`ExportedInferencer.load` serves it with no model class, no flax apply,
+no retracing. Pinned here:
+
+  * exported outputs match the live Inferencer bitwise on ragged request
+    sizes (both run the same padded bucket programs),
+  * the bundle round-trips params exactly (npz + manifest paths),
+  * a fresh subprocess serves the bundle without constructing the model,
+  * missing methods/buckets fail loudly.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hyperbolic_vae_tpu.data.mnist import make_data_module
+from hyperbolic_vae_tpu.models import GyroplaneVAE
+from hyperbolic_vae_tpu.serve import ExportedInferencer, Inferencer
+from hyperbolic_vae_tpu.train import Trainer
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    dm = make_data_module(batch_size=32, synthetic=True, n_train=128, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=1, early_stopping_patience=None, check_finite=False)
+    params = trainer.init_params(dm.x_train)
+    inf = Inferencer(model, params, batch_size=16, max_batches_per_dispatch=4)
+    out = tmp_path_factory.mktemp("bundle")
+    inf.export_programs(out)
+    return inf, out, dm
+
+
+def test_exported_matches_live(bundle):
+    inf, out, dm = bundle
+    exp = ExportedInferencer.load(out)
+    for n in (1, 16, 17, 50):  # in-bucket, exact, ragged, multi-bucket
+        x = np.asarray(dm.x_test[:n], np.float32)
+        np.testing.assert_array_equal(exp.embed(x), inf.embed(x))
+        np.testing.assert_array_equal(exp.reconstruct(x), inf.reconstruct(x))
+    z = np.asarray(exp.embed(np.asarray(dm.x_test[:4], np.float32)))
+    np.testing.assert_array_equal(exp.decode(z), inf.decode(z))
+
+
+def test_exported_program_count_is_bounded(bundle):
+    inf, out, _ = bundle
+    # 3 methods x buckets {1, 2, 4} = 9 programs in the bundle
+    assert len(list(Path(out).glob("*.stablehlo"))) == 9
+    exp = ExportedInferencer.load(out)
+    with pytest.raises(KeyError, match="not exported"):
+        exp._fn("loss")
+
+
+def test_bundle_serves_in_fresh_process_without_model_code(bundle):
+    _, out, dm = bundle
+    # the subprocess imports ONLY serve + numpy — never the model class;
+    # conftest-style CPU forcing because the axon sitecustomize ignores
+    # JAX_PLATFORMS env
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {str(REPO)!r})
+import numpy as np
+from hyperbolic_vae_tpu.serve import ExportedInferencer
+exp = ExportedInferencer.load({str(out)!r})
+x = np.zeros((7,) + tuple(exp._manifest["data_shape"]), np.float32)
+mu = exp.embed(x)
+assert mu.shape == (7, exp._manifest["latent_dim"]), mu.shape
+assert np.all(np.isfinite(mu))
+print("SERVED", mu.shape)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SERVED" in proc.stdout
