@@ -1,0 +1,48 @@
+"""Export a trained checkpoint as a model-code-free serving bundle.
+
+The deployment step the reference has no analogue for (its closest
+serving story is calling ``pl_module.reconstruct`` in a callback,
+/root/reference/hyperbolic_vae/training/generate_callback.py:23-35):
+
+    python experiments/export_serving_bundle.py --ckpt runs/x/ckpt --out bundle/
+
+restores the self-describing checkpoint (any model family), traces the
+full bucketed program set, and writes jax.export StableHLO programs +
+params npz + manifest. Serve it anywhere with just jax:
+
+    from hyperbolic_vae_tpu.serve import ExportedInferencer
+    inf = ExportedInferencer.load("bundle/")
+    mu = inf.embed(x)
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+if os.environ.get("HVAE_FORCE_CPU"):
+    # the axon sitecustomize overrides JAX_PLATFORMS; config wins
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from hyperbolic_vae_tpu.serve import Inferencer
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", type=str, required=True, help="Trainer checkpoint dir")
+    p.add_argument("--name", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--out", type=str, required=True, help="bundle output dir")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--max-batches-per-dispatch", type=int, default=16)
+    p.add_argument(
+        "--methods", type=str, nargs="+", default=["encode", "decode", "reconstruct"]
+    )
+    args = p.parse_args()
+
+    inf = Inferencer.from_checkpoint(
+        args.ckpt, name=args.name, batch_size=args.batch_size,
+        max_batches_per_dispatch=args.max_batches_per_dispatch,
+    )
+    out = inf.export_programs(args.out, methods=tuple(args.methods))
+    n = len(list(Path(out).glob("*.stablehlo")))
+    print(f"exported {n} programs ({len(args.methods)} methods x {len(inf._buckets)} buckets) -> {out}")

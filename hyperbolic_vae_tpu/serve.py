@@ -87,11 +87,13 @@ class Inferencer:
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, name: str = "best",
-                        batch_size: int = 256, mesh=None) -> "Inferencer":
+                        batch_size: int = 256, mesh=None,
+                        max_batches_per_dispatch: int = 16) -> "Inferencer":
         from hyperbolic_vae_tpu.train.checkpoint import restore_model
 
         model, params, _meta = restore_model(ckpt_dir, name)
-        return cls(model, params, batch_size=batch_size, mesh=mesh)
+        return cls(model, params, batch_size=batch_size, mesh=mesh,
+                   max_batches_per_dispatch=max_batches_per_dispatch)
 
     # ------------------------------------------------------------------ #
 

@@ -124,6 +124,34 @@ def test_hyperbolic_conv_cli(tmp_path):
     assert "test:" in out
 
 
+def test_export_serving_bundle_cli(tmp_path):
+    """checkpoint -> export_serving_bundle.py -> ExportedInferencer.load:
+    the full deployment path through the CLIs."""
+    run_script(
+        "train_vae_hyperbolic_mnist_gyroplane.py",
+        "--synthetic", "--n-train", "320", "--run-dir", str(tmp_path / "run"),
+    )
+    env = dict(os.environ)
+    env["HVAE_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    proc = subprocess.run(
+        [sys.executable, str(EXP / "export_serving_bundle.py"),
+         "--ckpt", str(tmp_path / "run" / "ckpt"), "--out", str(tmp_path / "bundle"),
+         "--batch-size", "16", "--max-batches-per-dispatch", "2"],
+        cwd=EXP, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "exported 6 programs" in proc.stdout  # 3 methods x buckets {1, 2}
+    import jax
+    import numpy as np
+
+    from hyperbolic_vae_tpu.serve import ExportedInferencer
+
+    inf = ExportedInferencer.load(tmp_path / "bundle")
+    mu = inf.embed(np.zeros((5, 28, 28, 1), np.float32))
+    assert mu.shape == (5, 2) and np.all(np.isfinite(mu))
+
+
 def test_eval_checkpoints_cli_model_agnostic(tmp_path):
     """One eval command restores checkpoints from DIFFERENT model families
     via the embedded hparams (reference scripts/_5:51-52 pattern)."""
