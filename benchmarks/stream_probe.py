@@ -7,8 +7,9 @@ probe quantifies the cost honestly on the real chip:
   * resident arm: Trainer.fit with the split staged once in HBM,
   * streamed arms: fit_streamed at J blocks (double-buffered H2D),
   * a raw H2D bandwidth measurement of one block,
-  * overlap efficiency: how much of the H2D time hides under compute
-    (epoch_streamed vs h2d_total + epoch_resident).
+  * the effective transfer rate each streamed arm achieves and the
+    transfer-bound fraction of its epoch (overlap only becomes visible
+    when compute time is comparable to H2D time).
 
 Writes benchmarks/STREAM_PROBE.json.
 
@@ -103,7 +104,6 @@ def main():
     )
     out["resident_epoch_ms"] = round(resident_epoch_s * 1e3, 1)
 
-    split_h2d_s = out["split_mb"] / out["h2d_mb_per_s"]
     for j in args.blocks:
         rs = make_trainer().fit_streamed(dm, block_rows=args.rows // j)
         sps = rs.samples_per_sec

@@ -37,12 +37,25 @@ if __name__ == "__main__":
     p.add_argument(
         "--methods", type=str, nargs="+", default=["encode", "decode", "reconstruct"]
     )
+    p.add_argument(
+        "--data-shape", type=int, nargs="+", default=None,
+        help="input feature shape override (derived from the restored "
+        "model's data_shape/input_size/in_features when omitted)",
+    )
+    p.add_argument(
+        "--platforms", type=str, nargs="+", default=["cpu", "tpu"],
+        help="lowering targets baked into the bundle",
+    )
     args = p.parse_args()
 
     inf = Inferencer.from_checkpoint(
         args.ckpt, name=args.name, batch_size=args.batch_size,
         max_batches_per_dispatch=args.max_batches_per_dispatch,
     )
-    out = inf.export_programs(args.out, methods=tuple(args.methods))
+    out = inf.export_programs(
+        args.out, methods=tuple(args.methods),
+        data_shape=tuple(args.data_shape) if args.data_shape else None,
+        platforms=tuple(args.platforms),
+    )
     n = len(list(Path(out).glob("*.stablehlo")))
     print(f"exported {n} programs ({len(args.methods)} methods x {len(inf._buckets)} buckets) -> {out}")

@@ -224,14 +224,21 @@ class Inferencer:
 
     def export_programs(self, out_dir, methods: tuple = ("encode", "decode", "reconstruct"),
                         data_shape: Optional[tuple] = None,
-                        latent_dim: Optional[int] = None):
+                        latent_dim: Optional[int] = None,
+                        platforms: tuple = ("cpu", "tpu")):
         """Serialize the FULL bucketed program set as a self-contained
         serving bundle: jax.export StableHLO per (method, bucket), the
         params as an npz, and a JSON manifest. A serving process loads it
         with ``ExportedInferencer.load(dir)`` and serves WITHOUT the
         model's Python class and without retracing — the deployment
         artifact is the bundle, not the training codebase. Programs are
-        exported unsharded (single-device serving)."""
+        exported unsharded (single-device serving) and, by default, for
+        BOTH cpu and tpu, so the bundle runs off the exporting backend
+        (export once on the training host, serve anywhere).
+
+        Params are stored dtype-preserving (raw bytes + dtype/shape in
+        the manifest): bf16-stored kernels (RNASeqVAE param_dtype)
+        round-trip exactly — np.savez alone cannot encode ml_dtypes."""
         import json
         from pathlib import Path
 
@@ -239,7 +246,12 @@ class Inferencer:
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        data_shape = tuple(data_shape or self.model.data_shape)
+        data_shape = tuple(
+            data_shape
+            or getattr(self.model, "data_shape", None)
+            or getattr(self.model, "input_size", None)
+            or (self.model.in_features,)
+        )
         latent_dim = int(latent_dim or getattr(self.model, "latent_dim"))
         pspec = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), self.params
@@ -250,14 +262,19 @@ class Inferencer:
                 fn = self._fn(method) if k == 1 else self._fn_k(method, k)
                 shape = ((self.batch_size,) if k == 1 else (k, self.batch_size)) + feat[method]
                 xs = jax.ShapeDtypeStruct(shape, jnp.float32)
-                exp = jexport.export(fn)(pspec, xs)
+                exp = jexport.export(fn, platforms=list(platforms))(pspec, xs)
                 (out / f"{method}_k{k}.stablehlo").write_bytes(exp.serialize())
         flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
-        keys = ["/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat]
-        np.savez(
-            out / "params.npz",
-            **{f"arr_{i}": np.asarray(v) for i, (_, v) in enumerate(flat)},
-        )
+        keys, dtypes, shapes, arrs = [], [], [], {}
+        for i, (path, v) in enumerate(flat):
+            a = np.ascontiguousarray(np.asarray(v))
+            keys.append("/".join(str(getattr(p, "key", p)) for p in path))
+            dtypes.append(a.dtype.name)
+            shapes.append(list(a.shape))
+            # raw-byte view: dtype-agnostic (np.savez turns ml_dtypes
+            # bf16 into an unloadable void dtype otherwise)
+            arrs[f"arr_{i}"] = a.reshape(-1).view(np.uint8)
+        np.savez(out / "params.npz", **arrs)
         (out / "manifest.json").write_text(
             json.dumps(
                 {
@@ -267,7 +284,10 @@ class Inferencer:
                     "methods": list(methods),
                     "data_shape": list(data_shape),
                     "latent_dim": latent_dim,
+                    "platforms": list(platforms),
                     "param_paths": keys,
+                    "param_dtypes": dtypes,
+                    "param_shapes": shapes,
                 }
             )
         )
@@ -301,12 +321,16 @@ class ExportedInferencer(Inferencer):
         manifest = json.loads((d / "manifest.json").read_text())
         npz = np.load(d / "params.npz")
         params = {}
-        for i, path in enumerate(manifest["param_paths"]):
+        for i, (path, dt, shp) in enumerate(
+            zip(manifest["param_paths"], manifest["param_dtypes"],
+                manifest["param_shapes"])
+        ):
             node = params
             parts = path.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(npz[f"arr_{i}"])
+            raw = npz[f"arr_{i}"]
+            node[parts[-1]] = jnp.asarray(raw.view(jnp.dtype(dt)).reshape(shp))
         programs = {}
         for method in manifest["methods"]:
             for k in manifest["buckets"]:

@@ -511,7 +511,8 @@ class Trainer:
             "stopped": jnp.asarray(False),
         }
 
-    def _make_streamed_epoch(self, dm: ArrayDataModule, block_rows: int, n_val: int):
+    def _make_streamed_epoch(self, dm: ArrayDataModule, block_rows: int, n_val: int,
+                             start_epoch: int = 0):
         """Build a train-epoch callable for HOST-RESIDENT training data
         (datasets larger than device HBM — the one capacity ceiling of the
         stage-once design, data/core.py docstring).
@@ -530,8 +531,11 @@ class Trainer:
         permutation (exact mixing incl. the n %% block_rows tail, at the
         cost of a host gather per block). With J == 1 the closure reduces
         to the resident path's train_epoch call bit-for-bit. Each block
-        trains block_rows // batch_size steps — the in-block remainder is
-        dropped exactly as the resident path drops n %% batch_size.
+        trains block_rows // batch_size steps. NB: in 'block_order' mode
+        rows never cross block boundaries, so the n %% block_rows tail is
+        excluded from EVERY epoch (a warning is logged; the resident path
+        re-draws its dropped n %% batch_size tail each epoch) — use
+        reshuffle='rows' when the tail must participate.
         """
         x_host = dm.x_train  # numpy or np.memmap — NEVER staged whole
         n_train = int(x_host.shape[0])
@@ -543,10 +547,19 @@ class Trainer:
         j_blocks = n_train // block_rows
         if j_blocks < 1:
             raise ValueError(f"block_rows {block_rows} > n_train {n_train}")
+        if n_train % block_rows and self._stream_reshuffle == "block_order":
+            logger.warning(
+                "fit_streamed(block_order): the %d-row tail (n_train %% "
+                "block_rows) is excluded from every epoch; pass "
+                "reshuffle='rows' to mix it in",
+                n_train - j_blocks * block_rows,
+            )
         block_fn, _ = self._epoch_fns(block_rows, bs, n_val)
         mesh = self.mesh
         reshuffle = self._stream_reshuffle
-        epoch_counter = {"n": 0}
+        # seeded with start_epoch so a resumed run replays the SAME
+        # block-order/row-assignment schedule an uninterrupted run uses
+        epoch_counter = {"n": int(start_epoch)}
 
         def put(block_np):
             b = np.asarray(block_np, np.float32)
@@ -667,7 +680,9 @@ class Trainer:
             # host-resident training data (fit_streamed): blocks stream
             # through the device; never stage the whole split
             x_train = None
-            train_epoch = self._make_streamed_epoch(dm, stream_rows, n_val)
+            train_epoch = self._make_streamed_epoch(
+                dm, stream_rows, n_val, start_epoch=start_epoch
+            )
             _, eval_epoch = self._epoch_fns(stream_rows, dm.batch_size, n_val)
         else:
             x_train = self._stage(dm.x_train)

@@ -58,6 +58,33 @@ def test_exported_program_count_is_bounded(bundle):
         exp._fn("loss")
 
 
+def test_bf16_params_roundtrip_through_bundle(tmp_path):
+    """np.savez cannot encode ml_dtypes bf16 (loads back as void '|V2');
+    the bundle stores raw bytes + dtype in the manifest instead."""
+    import jax.numpy as jnp
+
+    from hyperbolic_vae_tpu.models import RNASeqVAE
+
+    model = RNASeqVAE(in_features=64, hidden_dim=16, latent_dim=2,
+                      param_dtype="bfloat16")
+    x = np.random.default_rng(0).random((8, 64), np.float32)
+    import jax
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )["params"]
+    inf = Inferencer(model, params, batch_size=8, max_batches_per_dispatch=2)
+    inf.export_programs(tmp_path)  # data_shape derived from in_features
+    exp = ExportedInferencer.load(tmp_path)
+    flat_a = jax.tree.leaves(exp.params)
+    flat_b = jax.tree.leaves(params)
+    assert any(l.dtype == jnp.bfloat16 for l in flat_a)
+    for a, b in zip(flat_a, flat_b):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    np.testing.assert_array_equal(exp.embed(x), inf.embed(x))
+
+
 def test_bundle_serves_in_fresh_process_without_model_code(bundle):
     _, out, dm = bundle
     # the subprocess imports ONLY serve + numpy — never the model class;

@@ -101,6 +101,56 @@ def test_streamed_evaluate_matches_resident_weighting(dm):
         np.testing.assert_allclose(st[k], res[k], rtol=0.05)
 
 
+def test_block_order_tail_exclusion_warns(dm, caplog):
+    import logging
+
+    # 461 train rows, 128-row blocks -> 77-row tail never trained in
+    # block_order mode: must be said out loud
+    with caplog.at_level(logging.WARNING, logger="hyperbolic_vae_tpu.train.trainer"):
+        _trainer(dm, max_epochs=1).fit_streamed(dm, block_rows=128)
+    assert any("excluded from every epoch" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="hyperbolic_vae_tpu.train.trainer"):
+        _trainer(dm, max_epochs=1).fit_streamed(dm, block_rows=128, reshuffle="rows")
+    assert not any("excluded from every epoch" in r.message for r in caplog.records)
+
+
+def test_streamed_schedule_depends_on_start_epoch(dm):
+    """A resumed run must replay the uninterrupted run's block schedule:
+    the per-epoch shuffle RNG is seeded with the absolute epoch number,
+    so two closures starting at different epochs draw different orders."""
+    tr = _trainer(dm, max_epochs=1)
+    e0 = tr._make_streamed_epoch(dm, 128, len(dm.x_val), start_epoch=0)
+    e2 = tr._make_streamed_epoch(dm, 128, len(dm.x_val), start_epoch=2)
+    tr2 = _trainer(dm, max_epochs=3)
+    ref = tr2._make_streamed_epoch(dm, 128, len(dm.x_val), start_epoch=0)
+
+    import jax
+
+    import jax.numpy as jnp
+
+    params = tr.init_params(dm.x_train)
+    opt = tr._optimizer.init(params)
+    key = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    # drive the reference closure to absolute epoch 2, then compare one
+    # epoch against the start_epoch=2 closure from the SAME state/key
+    # (copies per call: the block program donates params/opt buffers)
+    p_r, o_r = copy(params), copy(opt)
+    for _ in range(2):
+        p_r, o_r, _ = ref(p_r, o_r, None, key)
+    _, _, ms_resumed = e2(copy(p_r), copy(o_r), None, key)
+    _, _, ms_ref = ref(copy(p_r), copy(o_r), None, key)
+    np.testing.assert_allclose(
+        float(ms_resumed["loss_total"]), float(ms_ref["loss_total"]), rtol=0, atol=0
+    )
+    # while the epoch-0 schedule differs from the epoch-2 one
+    # (deterministic: rng((42, 0x5EED, 0)).permutation(3) = [1,2,0] vs
+    #  rng((42, 0x5EED, 2)).permutation(3) = [1,0,2])
+    _, _, ms_wrong = e0(copy(p_r), copy(o_r), None, key)
+    assert float(ms_wrong["loss_total"]) != float(ms_ref["loss_total"])
+
+
 def test_streamed_rejects_bad_config(dm):
     with pytest.raises(ValueError, match="< batch_size"):
         _trainer(dm).fit_streamed(dm, block_rows=32)
