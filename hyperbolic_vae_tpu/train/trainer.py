@@ -567,28 +567,48 @@ class Trainer:
                 return jax.device_put(b, data_sharding(mesh, b.ndim))
             return jax.device_put(b)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         def train_epoch(params, opt_state, _x_unused, key):
             e = epoch_counter["n"]
             epoch_counter["n"] += 1
             rng = np.random.default_rng((self.seed, 0x5EED, e))
+            # block materialization is LAZY (one block at a time, one
+            # prefetched ahead on a host thread): 'rows' mode gathers
+            # block_rows rows per call — never a full-split host copy
             if reshuffle == "rows" and j_blocks > 1:
                 perm = rng.permutation(n_train)[: j_blocks * block_rows]
-                slices = [
-                    x_host[perm[j * block_rows : (j + 1) * block_rows]]
-                    for j in range(j_blocks)
-                ]
+
+                def host_block(i):
+                    return x_host[perm[i * block_rows : (i + 1) * block_rows]]
+
             else:
                 order = rng.permutation(j_blocks) if j_blocks > 1 else np.arange(1)
-                slices = [
-                    x_host[j * block_rows : (j + 1) * block_rows] for j in order
-                ]
+
+                def host_block(i):
+                    j = int(order[i])
+                    return x_host[j * block_rows : (j + 1) * block_rows]
+
             ms_list = []
-            cur = put(slices[0])
+            # fresh single-worker prefetcher per epoch (shut down at the
+            # end: no idle thread outlives the epoch)
+            prefetcher = ThreadPoolExecutor(max_workers=1) if j_blocks > 1 else None
+            cur = put(host_block(0))
+            pre = prefetcher.submit(host_block, 1) if j_blocks > 1 else None
             for i in range(j_blocks):
                 kk = key if j_blocks == 1 else jax.random.fold_in(key, i)
                 params, opt_state, ms = block_fn(params, opt_state, cur, kk)
-                # enqueue the next block's H2D while this block computes
-                cur = put(slices[i + 1]) if i + 1 < j_blocks else None
+                # enqueue the next block's H2D while this block computes;
+                # the host gather for block i+2 overlaps on its own thread
+                if i + 1 < j_blocks:
+                    cur = put(pre.result())
+                    pre = (
+                        prefetcher.submit(host_block, i + 2)
+                        if i + 2 < j_blocks
+                        else None
+                    )
+                else:
+                    cur = None
                 if j_blocks > 1:
                     # cap the async queue at ~2 in-flight ops: a tiny host
                     # fetch of one metric scalar AFTER enqueueing the next
@@ -599,6 +619,8 @@ class Trainer:
                     # healthy runtimes this fetch costs ~0.1 ms/block.
                     float(jnp.ravel(jax.tree.leaves(ms)[0])[0])
                 ms_list.append(ms)
+            if prefetcher is not None:
+                prefetcher.shutdown(wait=True)
             if j_blocks == 1:
                 return params, opt_state, ms_list[0]
             mean_ms = jax.tree.map(lambda *xs: sum(xs) / j_blocks, *ms_list)
