@@ -31,6 +31,11 @@ if __name__ == "__main__":
     parser.add_argument("--last-activation", type=str, default="sigmoid")
     parser.add_argument("--tp", type=int, default=1, help="model-axis size (tensor parallelism over the wide layers)")
     parser.add_argument(
+        "--fsdp", action="store_true",
+        help="ZeRO-3-style sharding: params + Adam moments sharded over"
+        " the data axis (composes with --tp for the 2-D weight layout)",
+    )
+    parser.add_argument(
         "--stream-block-rows", type=int, default=0,
         help="train with HOST-resident data streamed through the device in"
         " double-buffered blocks of this many rows (for splits larger than"
@@ -72,14 +77,23 @@ if __name__ == "__main__":
     )
     mesh = None
     param_sharding_fn = None
-    if args.tp > 1:
+    if args.tp > 1 or args.fsdp:
         from hyperbolic_vae_tpu.parallel import make_mesh
-        from hyperbolic_vae_tpu.parallel.sharding_rules import tp_param_shardings
+        from hyperbolic_vae_tpu.parallel.sharding_rules import (
+            fsdp_param_shardings,
+            fsdp_tp_param_shardings,
+            tp_param_shardings,
+        )
 
         import jax
 
         mesh = make_mesh(n_data=max(len(jax.devices()) // args.tp, 1), n_model=args.tp)
-        param_sharding_fn = tp_param_shardings
+        if args.fsdp and args.tp > 1:
+            param_sharding_fn = fsdp_tp_param_shardings
+        elif args.fsdp:
+            param_sharding_fn = fsdp_param_shardings
+        else:
+            param_sharding_fn = tp_param_shardings
     trainer = Trainer(
         model,
         lr=args.lr,

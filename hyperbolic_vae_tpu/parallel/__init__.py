@@ -9,6 +9,12 @@ from hyperbolic_vae_tpu.parallel.mesh import (
     seed_sharding,
     shard_batch,
 )
+from hyperbolic_vae_tpu.parallel.sharding_rules import (
+    fsdp_param_shardings,
+    fsdp_tp_param_shardings,
+    opt_state_shardings,
+    tp_param_shardings,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -20,4 +26,8 @@ __all__ = [
     "seed_sharding",
     "replicated",
     "shard_batch",
+    "tp_param_shardings",
+    "fsdp_param_shardings",
+    "fsdp_tp_param_shardings",
+    "opt_state_shardings",
 ]

@@ -673,9 +673,24 @@ class Trainer:
         key, init_key = jax.random.split(key)
         if params is None:
             params = self.init_params(dm.x_train, init_key)
+        elif self.mesh is not None:
+            # caller-provided params get the same placement init would
+            params = jax.device_put(
+                params,
+                self.param_sharding_fn(params, self.mesh)
+                if self.param_sharding_fn is not None
+                else replicated(self.mesh),
+            )
         opt_state = self._optimizer.init(params)
         if self.mesh is not None:
-            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+            # moments inherit their params' shardings (FSDP shards them
+            # n_data-way; TP stops replicating model-sharded kernels'
+            # moments); scalars/hyperparams replicated
+            from hyperbolic_vae_tpu.parallel.sharding_rules import opt_state_shardings
+
+            opt_state = jax.device_put(
+                opt_state, opt_state_shardings(self._optimizer, opt_state, params, self.mesh)
+            )
 
         start_epoch = 0
         if resume and self._ckpt_mgr and self._ckpt_mgr.has_state():
