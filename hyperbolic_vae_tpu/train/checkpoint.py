@@ -90,7 +90,15 @@ class CheckpointManager:
     def save_last(self, epoch: int, params: Any, metrics: dict) -> None:
         self._save("last", params, {"epoch": epoch, **metrics})
 
+    def wait_until_finished(self) -> None:
+        """Block until in-flight saves are committed. StandardCheckpointer
+        is an AsyncCheckpointer: ``save()`` returns with the array write
+        still in a background thread, so anything that reads the directory
+        (restore, copying a run dir, process exit) must barrier first."""
+        self._ckpt.wait_until_finished()
+
     def restore(self, name: str = "best", like: Optional[Any] = None) -> Any:
+        self.wait_until_finished()
         path = self.directory / name
         if like is not None:
             return self._ckpt.restore(path, target=jax.tree.map(lambda x: x, like))
@@ -114,6 +122,7 @@ class CheckpointManager:
             json.dump(meta, f)
 
     def restore_state(self, like: Any) -> tuple[Any, Optional[dict]]:
+        self.wait_until_finished()
         path = self.directory / "state"
         meta_path = self.directory / "state.json"
         if not path.exists():
@@ -123,4 +132,5 @@ class CheckpointManager:
         return state, meta
 
     def has_state(self) -> bool:
+        self.wait_until_finished()
         return (self.directory / "state").exists()

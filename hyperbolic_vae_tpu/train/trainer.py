@@ -699,6 +699,13 @@ class Trainer:
             )
             if state is not None:
                 params, opt_state, key = state["params"], state["opt_state"], state["key"]
+                if self.mesh is not None:
+                    # orbax commits the restored key to ITS target's device
+                    # (single device 0); a committed single-device arg
+                    # conflicts with the mesh-sharded params inside jit.
+                    # params/opt_state already restored with the mesh
+                    # shardings their targets carried.
+                    key = jax.device_put(key, replicated(self.mesh))
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 self.plateau.lr = float(meta.get("plateau_lr", self.plateau.lr))
                 self.plateau.best = float(meta.get("plateau_best", self.plateau.best))
@@ -829,6 +836,10 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
+            # saves are async (background commit thread): fit() returning
+            # is the durability point callers rely on (copying the run
+            # dir, exiting the process)
+            self._ckpt_mgr.wait_until_finished()
         elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
         sps = total_samples / elapsed if total_samples else 0.0
         self.metric_logger.close()
@@ -942,6 +953,10 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
+            # saves are async (background commit thread): fit() returning
+            # is the durability point callers rely on (copying the run
+            # dir, exiting the process)
+            self._ckpt_mgr.wait_until_finished()
         elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
         sps = total_samples / elapsed if total_samples else 0.0
         self.metric_logger.close()

@@ -268,3 +268,62 @@ def test_chunked_fit_with_fsdp_tp():
         np.testing.assert_allclose(l1, l2, rtol=1e-3)
     k = r2.params["enc"]["kernel"]
     assert k.sharding.shard_shape(k.shape) == (k.shape[0] // 4, k.shape[1] // 2)
+
+
+def test_elastic_resume_across_topologies(tmp_path):
+    """Elastic resharding through checkpoints: a run saved on ONE device
+    resumes FSDP-sharded over the 8-device mesh (orbax restores into the
+    target's shardings), and an FSDP-sharded save resumes single-device.
+    Both resumed histories must match the uninterrupted plain run."""
+    import shutil
+
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+    from hyperbolic_vae_tpu.parallel.sharding_rules import fsdp_param_shardings
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (256, 512)).astype(np.float32)
+    y = np.zeros(256, np.int32)
+    dm = ArrayDataModule(
+        x_train=x, y_train=y, x_val=x[:64], y_val=y[:64],
+        x_test=x[:64], y_test=y[:64], batch_size=64,
+    )
+    model = RNASeqVAE(in_features=512, hidden_dim=64, latent_dim=2)
+
+    def mk(max_epochs, ckpt, mesh=None, fsdp=False):
+        return Trainer(
+            model, max_epochs=max_epochs, early_stopping_patience=None,
+            seed=5, plateau_patience=1000, checkpoint_dir=str(ckpt),
+            mesh=mesh, param_sharding_fn=fsdp_param_shardings if fsdp else None,
+        )
+
+    # the uninterrupted 4-epoch plain run is the ground truth
+    ref = mk(4, tmp_path / "ref").fit(dm)
+    ref_losses = [h["train/loss_total"] for h in ref.history]
+
+    # save at epoch 2 on one device
+    mk(2, tmp_path / "a").fit(dm)
+    shutil.copytree(tmp_path / "a", tmp_path / "a2")
+    # plain -> FSDP over dp8
+    r_up = mk(4, tmp_path / "a", mesh=make_mesh(n_data=8), fsdp=True).fit(
+        dm, resume=True
+    )
+    assert [h["epoch"] for h in r_up.history] == [2, 3]
+    k = r_up.params["enc"]["kernel"]
+    assert k.sharding.shard_shape(k.shape)[0] == k.shape[0] // 8
+    # plain -> plain control for the same tail
+    r_ctl = mk(4, tmp_path / "a2").fit(dm, resume=True)
+    np.testing.assert_allclose(
+        [h["train/loss_total"] for h in r_up.history],
+        [h["train/loss_total"] for h in r_ctl.history], rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        [h["train/loss_total"] for h in r_ctl.history], ref_losses[2:], rtol=1e-6
+    )
+
+    # save at epoch 2 FSDP-sharded -> resume on one device
+    mk(2, tmp_path / "b", mesh=make_mesh(n_data=8), fsdp=True).fit(dm)
+    r_down = mk(4, tmp_path / "b").fit(dm, resume=True)
+    assert [h["epoch"] for h in r_down.history] == [2, 3]
+    np.testing.assert_allclose(
+        [h["train/loss_total"] for h in r_down.history], ref_losses[2:], rtol=1e-3
+    )
