@@ -158,3 +158,24 @@ def test_streamed_rejects_bad_config(dm):
         _trainer(dm, epochs_per_dispatch=2).fit_streamed(dm, block_rows=128)
     with pytest.raises(ValueError, match="> n_train"):
         _trainer(dm).fit_streamed(dm, block_rows=1024)
+
+
+def test_streamed_with_fsdp_mesh(dm):
+    """Host-resident blocks compose with ZeRO-3 weight sharding: the big
+    kernels stay data-axis-sharded through the streamed epoch loop and
+    the run matches the plain streamed run."""
+    from hyperbolic_vae_tpu.parallel import make_mesh
+    from hyperbolic_vae_tpu.parallel.sharding_rules import fsdp_param_shardings
+
+    r_plain = _trainer(dm).fit_streamed(dm, block_rows=128)
+    r = _trainer(
+        dm, mesh=make_mesh(), param_sharding_fn=fsdp_param_shardings
+    ).fit_streamed(dm, block_rows=128)
+    a = [h["train/loss_total"] for h in r_plain.history]
+    b = [h["train/loss_total"] for h in r.history]
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+    # the biggest kernel must actually be sharded (not replicated)
+    import jax
+
+    big = max(jax.tree.leaves(r.params), key=lambda l: l.size)
+    assert big.sharding.shard_shape(big.shape) != big.shape
