@@ -213,7 +213,12 @@ class Inferencer:
         """Pay every compile before traffic arrives (first TPU compile can
         take minutes through a remote relay): primes the FULL bucket set
         per method, so no request size triggers a compile later."""
-        shape = tuple(data_shape or self.model.data_shape)
+        shape = tuple(
+            data_shape
+            or getattr(self.model, "data_shape", None)
+            or getattr(self.model, "input_size", None)
+            or (self.model.in_features,)
+        )
         for method in methods:
             for k in self._buckets:
                 x = np.zeros((k * self.batch_size,) + shape, np.float32)
