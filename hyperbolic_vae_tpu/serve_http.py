@@ -8,11 +8,16 @@ jax + this package (or just jax + a bundle), no web framework.
 
 Design constraints that shaped it:
 
-  * One device, many client threads: every request funnels through ONE
-    lock around the device dispatch. TPU programs are not reentrant per
-    device, and the bucketed engine already turns any request size into
-    a bounded number of dispatches — serializing them preserves the
-    compile-cache and latency guarantees under concurrency.
+  * One device, many client threads: requests funnel through ONE
+    dispatcher thread that owns the device. TPU programs are not
+    reentrant per device, and the bucketed engine already turns any
+    request size into a bounded number of dispatches — serializing them
+    preserves the compile-cache and latency guarantees under
+    concurrency. The dispatcher COALESCES: everything that queues up
+    while a dispatch is on the wire (~40-50 ms on the tunnel) merges
+    into the next one, so N concurrent small requests cost ~2 padded
+    dispatches, not N (CoalescingDispatcher; --no-coalesce for a plain
+    per-request lock).
   * Two wire formats per endpoint. JSON (nested lists) for
     convenience/debugging; raw little-endian f32 bytes with an
     ``X-Shape`` header for production (a 2048x784 reconstruct request is
@@ -39,7 +44,10 @@ auxiliary outputs like posterior scales).
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -54,16 +62,127 @@ def _to_arrays(out):
     return [np.asarray(out)]
 
 
+class CoalescingDispatcher:
+    """Dynamic micro-batching: merge concurrent requests into one dispatch.
+
+    A single dispatcher thread owns the device. Callers (``call(method,
+    x)`` from any thread) enqueue and block on a Future. Each loop
+    iteration drains EVERYTHING queued, groups by (method, feature
+    shape), concatenates each group's rows into one array, runs ONE
+    padded/bucketed dispatch per group, and splits the outputs back per
+    request.
+
+    Coalescing is opportunistic: a solo request on an idle device
+    dispatches immediately (zero added latency); under concurrency the
+    ~40-50 ms a dispatch spends on the tunnel is exactly when the next
+    wave accumulates, so N small concurrent requests cost ~2 dispatches
+    instead of N. ``max_wait_ms > 0`` additionally holds the first
+    request of a wave open for stragglers (off by default — the
+    opportunistic window is usually enough and never hurts latency).
+
+    Row totals beyond the engine's per-dispatch cap are already split
+    by ``Inferencer._run_padded``; the program set stays within the
+    bucket bound because coalesced dispatches go through the same
+    bucketed path as direct calls.
+    """
+
+    _CLOSE = object()
+
+    def __init__(self, inferencer, max_wait_ms: float = 0.0):
+        self.inferencer = inferencer
+        self.max_wait_ms = float(max_wait_ms)
+        self.n_dispatches = 0  # observability: device dispatch groups run
+        self.n_requests = 0
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def call(self, method: str, x: np.ndarray):
+        fut: Future = Future()
+        self._q.put((method, np.asarray(x, np.float32), fut))
+        return fut.result()
+
+    def close(self):
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------ #
+
+    def _drain(self, first):
+        """first + everything already queued (+ a max_wait_ms grace)."""
+        batch = [first]
+        deadline = (
+            time.monotonic() + self.max_wait_ms / 1e3 if self.max_wait_ms else None
+        )
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                if deadline is not None and time.monotonic() < deadline:
+                    time.sleep(0.0002)
+                    continue
+                return batch, False
+            if item is self._CLOSE:
+                return batch, True
+            batch.append(item)
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is self._CLOSE:
+                return
+            batch, closing = self._drain(item)
+            groups: dict = {}
+            for method, x, fut in batch:
+                groups.setdefault((method, x.shape[1:]), []).append((x, fut))
+            for (method, _), items in groups.items():
+                self.n_dispatches += 1
+                self.n_requests += len(items)
+                try:
+                    xs = [x for x, _ in items]
+                    out = getattr(self.inferencer, method)(
+                        np.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
+                    )
+                    offs = np.cumsum([0] + [x.shape[0] for x in xs])
+                    for (_, fut), s, e in zip(items, offs[:-1], offs[1:]):
+                        fut.set_result(
+                            _map_outputs(lambda a, s=s, e=e: a[s:e], out)
+                        )
+                except Exception as e:  # propagate to every caller in the group
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            if closing:
+                return
+
+
+def _map_outputs(f, tree):
+    """Row-slice a numpy output tree (array, or tuple/list of arrays)."""
+    if isinstance(tree, (tuple, list)):
+        return type(tree)(f(np.asarray(a)) for a in tree)
+    return f(np.asarray(tree))
+
+
 class InferenceServer:
     """Wrap an Inferencer (live or exported) in a threading HTTP server.
 
     ``serve_forever()`` blocks; ``start()`` runs it on a daemon thread
     (used by tests and by embedding into another process). ``port=0``
     picks a free port (read it back from ``server.port``).
+
+    ``coalesce=True`` (default) routes requests through a
+    CoalescingDispatcher — concurrent small requests share one padded
+    device dispatch. ``coalesce=False`` falls back to a plain lock
+    (one dispatch per request, strictly serialized).
     """
 
-    def __init__(self, inferencer, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, inferencer, host: str = "127.0.0.1", port: int = 8000,
+                 coalesce: bool = True, max_wait_ms: float = 0.0):
         self.inferencer = inferencer
+        self.dispatcher = (
+            CoalescingDispatcher(inferencer, max_wait_ms=max_wait_ms)
+            if coalesce else None
+        )
         self._device_lock = threading.Lock()
         server = self
 
@@ -87,10 +206,11 @@ class InferenceServer:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/v1/health":
-                    self._reply_json(
-                        200,
-                        {"status": "ok", "programs": server.inferencer.n_programs},
-                    )
+                    h = {"status": "ok", "programs": server.inferencer.n_programs}
+                    if server.dispatcher is not None:
+                        h["dispatch_groups"] = server.dispatcher.n_dispatches
+                        h["requests_served"] = server.dispatcher.n_requests
+                    self._reply_json(200, h)
                 elif self.path == "/v1/manifest":
                     self._reply_json(200, server.manifest())
                 else:
@@ -116,8 +236,11 @@ class InferenceServer:
                     self._reply_json(400, {"error": f"bad request: {e}"})
                     return
                 try:
-                    with server._device_lock:
-                        out = _to_arrays(getattr(server.inferencer, name)(x))
+                    if server.dispatcher is not None:
+                        out = _to_arrays(server.dispatcher.call(name, x))
+                    else:
+                        with server._device_lock:
+                            out = _to_arrays(getattr(server.inferencer, name)(x))
                 except Exception as e:
                     self._reply_json(500, {"error": f"inference failed: {e}"})
                     return
@@ -165,6 +288,8 @@ class InferenceServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        if self.dispatcher is not None:
+            self.dispatcher.close()
 
 
 def main(argv: Optional[list] = None):
@@ -182,6 +307,11 @@ def main(argv: Optional[list] = None):
     p.add_argument("--max-batches-per-dispatch", type=int, default=16)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip priming every (method, bucket) program at startup")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="one dispatch per request (disable micro-batching)")
+    p.add_argument("--max-wait-ms", type=float, default=0.0,
+                   help="hold the first request of a wave open this long "
+                        "for stragglers (0 = opportunistic drain only)")
     args = p.parse_args(argv)
 
     from hyperbolic_vae_tpu.serve import ExportedInferencer, Inferencer
@@ -196,7 +326,9 @@ def main(argv: Optional[list] = None):
     if not args.no_warmup:
         print("warming up (compiling every method x bucket)...", flush=True)
         inf.warmup()
-    server = InferenceServer(inf, host=args.host, port=args.port)
+    server = InferenceServer(inf, host=args.host, port=args.port,
+                             coalesce=not args.no_coalesce,
+                             max_wait_ms=args.max_wait_ms)
     print(f"serving on http://{server.host}:{server.port} "
           f"(batch {inf.batch_size}, buckets {inf._buckets})", flush=True)
     try:

@@ -152,6 +152,147 @@ def test_error_paths(served):
     assert e.value.code == 400
 
 
+class _SlowFakeEngine:
+    """Inferencer stand-in: identity 'embed' that blocks on an event the
+    first call, recording per-call row counts — lets coalescing tests be
+    deterministic (no device, no races)."""
+
+    batch_size = 8
+    max_batches_per_dispatch = 4
+    _buckets = [1, 2, 4]
+    n_programs = 0
+
+    def __init__(self):
+        import threading as _t
+
+        self.calls = []  # row count per underlying dispatch
+        self.first_entered = _t.Event()
+        self.release_first = _t.Event()
+        self._first = True
+
+    def embed(self, x):
+        first, self._first = self._first, False
+        self.calls.append(x.shape[0])
+        if first:
+            self.first_entered.set()
+            assert self.release_first.wait(timeout=30)
+        return np.asarray(x) * 2.0
+
+    def decode(self, z):
+        self.calls.append(z.shape[0])
+        return np.asarray(z) + 1.0
+
+    def reconstruct(self, x):
+        raise RuntimeError("boom")
+
+
+def test_coalescer_merges_queued_requests():
+    """Requests that queue while a dispatch is in flight run as ONE
+    underlying call, and every caller gets its own rows back."""
+    from hyperbolic_vae_tpu.serve_http import CoalescingDispatcher
+
+    eng = _SlowFakeEngine()
+    disp = CoalescingDispatcher(eng)
+    try:
+        results = {}
+
+        def hit(i, n):
+            x = np.full((n, 3), float(i), np.float32)
+            results[i] = (x, disp.call("embed", x))
+
+        t0 = threading.Thread(target=hit, args=(0, 2))
+        t0.start()
+        assert eng.first_entered.wait(timeout=10)
+        # 6 requests pile up while call 0 is blocked on the device
+        rest = [threading.Thread(target=hit, args=(i, n))
+                for i, n in enumerate([1, 5, 2, 7, 3, 1], start=1)]
+        for t in rest:
+            t.start()
+        import time as _time
+        deadline = _time.monotonic() + 10
+        while disp._q.qsize() < 6 and _time.monotonic() < deadline:
+            _time.sleep(0.005)
+        eng.release_first.set()
+        for t in [t0] + rest:
+            t.join(timeout=30)
+        assert len(results) == 7
+        for i, (x, got) in results.items():
+            np.testing.assert_array_equal(got, x * 2.0)
+        # call 0 alone, then ONE merged call for the 6 queued (19 rows)
+        assert eng.calls == [2, 19]
+        assert disp.n_dispatches == 2 and disp.n_requests == 7
+    finally:
+        disp.close()
+
+
+def test_coalescer_groups_by_method_and_shape():
+    from hyperbolic_vae_tpu.serve_http import CoalescingDispatcher
+
+    eng = _SlowFakeEngine()
+    eng._first = False  # no blocking needed
+    eng.release_first.set()
+    disp = CoalescingDispatcher(eng, max_wait_ms=0.0)
+    try:
+        x = np.ones((4, 3), np.float32)
+        z = np.ones((2, 2), np.float32)
+        np.testing.assert_array_equal(disp.call("embed", x), x * 2.0)
+        np.testing.assert_array_equal(disp.call("decode", z), z + 1.0)
+    finally:
+        disp.close()
+
+
+def test_coalescer_propagates_errors_per_group():
+    from hyperbolic_vae_tpu.serve_http import CoalescingDispatcher
+
+    eng = _SlowFakeEngine()
+    eng._first = False
+    eng.release_first.set()
+    disp = CoalescingDispatcher(eng)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            disp.call("reconstruct", np.ones((1, 3), np.float32))
+        # the dispatcher thread survives an erroring group
+        x = np.ones((2, 3), np.float32)
+        np.testing.assert_array_equal(disp.call("embed", x), x * 2.0)
+    finally:
+        disp.close()
+
+
+def test_http_coalescing_end_to_end(served):
+    """Through real sockets + the real engine: concurrent requests served
+    correctly AND in fewer dispatch groups than requests. Uses its own
+    server with a straggler window so grouping is deterministic even on
+    fast (CPU) dispatches."""
+    from hyperbolic_vae_tpu.serve_http import InferenceServer
+
+    dm, inf, _ = served
+    server = InferenceServer(inf, port=0, max_wait_ms=150).start()
+    try:
+        sizes = [4, 9, 2, 16, 5, 11, 3, 8] * 2
+        expected = {n: inf.embed(dm.x_train[:n]) for n in set(sizes)}
+        results, errors = {}, []
+
+        def hit(i, n):
+            try:
+                results[i] = (n, _post_raw(server, "embed", dm.x_train[:n]))
+            except Exception as e:  # pragma: no cover - diagnostic
+                errors.append((i, n, repr(e)))
+
+        threads = [threading.Thread(target=hit, args=(i, n))
+                   for i, n in enumerate(sizes)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        for _, (n, got) in results.items():
+            np.testing.assert_allclose(got, expected[n], atol=1e-5)
+        assert server.dispatcher.n_requests == len(sizes)
+        assert server.dispatcher.n_dispatches < len(sizes)
+    finally:
+        server.shutdown()
+
+
 def test_bundle_backend_over_http(served, tmp_path):
     """Export -> ExportedInferencer -> HTTP: the model-code-free serving
     path answers over the network identically to the live one."""
