@@ -44,6 +44,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         " bfloat16 halves the moment HBM stream while keeping f32 master"
         " weights — see BASELINE.md's RNA-seq roofline",
     )
+    p.add_argument(
+        "--ema-decay", type=float, default=None,
+        help="track a parameter EMA (Polyak averaging) in the optimizer"
+        " state; manifold leaves average in the tangent space at the"
+        " origin (stays on the ball). Final EMA saved as the 'ema'"
+        " checkpoint / returned as result.ema_params",
+    )
     p.add_argument("--log-level", type=str, default="INFO")
     return p
 
@@ -66,4 +73,5 @@ def trainer_extra(args) -> dict:
     return {
         "epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1),
         "moment_dtype": getattr(args, "moment_dtype", None),
+        "ema_decay": getattr(args, "ema_decay", None),
     }

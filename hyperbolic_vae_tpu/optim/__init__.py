@@ -1,5 +1,6 @@
 from hyperbolic_vae_tpu.optim.riemannian_adam import (
     RiemannianAdamState,
+    ema_params,
     manifold_label_tree,
     riemannian_adam,
 )
@@ -8,6 +9,7 @@ from hyperbolic_vae_tpu.optim.schedules import EarlyStopping, ReduceLROnPlateau
 __all__ = [
     "riemannian_adam",
     "RiemannianAdamState",
+    "ema_params",
     "manifold_label_tree",
     "ReduceLROnPlateau",
     "EarlyStopping",

@@ -45,6 +45,10 @@ class RiemannianAdamState(NamedTuple):
     count: jax.Array
     exp_avg: Any
     exp_avg_sq: Any
+    # Polyak/EMA of the PARAMETERS (not the updates), tracked inside the
+    # optimizer state so checkpoints/resume/donation/FSDP sharding all
+    # handle it with zero extra plumbing. ``()`` (no leaves) when off.
+    ema: Any = ()
 
 
 def manifold_label_tree(params) -> Any:
@@ -73,6 +77,7 @@ def riemannian_adam(
     ball: Optional[PoincareBall] = None,
     weight_decay: float = 0.0,
     moment_dtype: Optional[Any] = None,
+    ema_decay: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Build the transformation. ``ball`` is the manifold for every
     manifold-tagged leaf (all reference models share one ball).
@@ -84,6 +89,17 @@ def riemannian_adam(
     array passes at the RNA-seq realistic config (BASELINE.md roofline) —
     while keeping full-precision master weights. All moment arithmetic is
     still f32; only the stored copy is narrowed.
+
+    ``ema_decay``: when set, track an exponential moving average of the
+    parameters (Polyak averaging) in ``state.ema``, initialized at the
+    init params (no debiasing needed). Euclidean leaves average
+    linearly; manifold leaves average in the tangent space at the
+    origin (logmap0 → lerp → expmap0 → project), which keeps the EMA
+    exactly on the ball and matches how the layers themselves
+    parameterize points (nn/layers.py expmap0 reparameterization).
+    Extract with ``ema_params(opt_state)``. The EMA is computed from
+    the exact post-apply params (p + update in the stored dtype, the
+    same arithmetic optax.apply_updates performs).
     """
 
     ball = ball or PoincareBall(c=1.0)
@@ -96,6 +112,11 @@ def riemannian_adam(
             count=jnp.zeros([], jnp.int32),
             exp_avg=jax.tree.map(_moment_zeros, params),
             exp_avg_sq=jax.tree.map(_moment_zeros, params),
+            # jnp.copy, NOT asarray: the EMA must not ALIAS the param
+            # buffers (the trainer donates params and opt_state to the
+            # same dispatch — an aliased leaf is a double donation)
+            ema=(jax.tree.map(jnp.copy, params)
+                 if ema_decay is not None else ()),
         )
 
     def update_fn(grads, state, params=None):
@@ -142,6 +163,47 @@ def riemannian_adam(
         updates = jax.tree.map(lambda t: t[0], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
         new_m = jax.tree.map(lambda t: t[1], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
         new_v = jax.tree.map(lambda t: t[2], flat_updates, is_leaf=lambda t: isinstance(t, tuple))
-        return updates, RiemannianAdamState(count=count, exp_avg=new_m, exp_avg_sq=new_v)
+
+        if ema_decay is not None:
+            d = jnp.float32(ema_decay)
+
+            def ema_leaf(is_manifold, u, p, e):
+                # exact post-apply point: p + u in the STORED dtype is the
+                # same arithmetic optax.apply_updates performs, so the EMA
+                # tracks the actual parameter trajectory bit-for-bit
+                new_p = (p + u).astype(jnp.float32)
+                e32 = e.astype(jnp.float32)
+                if is_manifold:
+                    t_new = ball.logmap0(new_p)
+                    t_ema = ball.logmap0(e32)
+                    out = ball.project(ball.expmap0(d * t_ema + (1.0 - d) * t_new))
+                else:
+                    out = d * e32 + (1.0 - d) * new_p
+                return out.astype(e.dtype)
+
+            new_ema = jax.tree.map(ema_leaf, labels, updates, params, state.ema)
+        else:
+            new_ema = ()
+        return updates, RiemannianAdamState(
+            count=count, exp_avg=new_m, exp_avg_sq=new_v, ema=new_ema
+        )
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(opt_state):
+    """Extract the parameter EMA from a (possibly wrapped) optimizer
+    state — works through inject_hyperparams / chain nesting. Raises if
+    the optimizer was built without ``ema_decay``."""
+    states = [
+        s for s in jax.tree.leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, RiemannianAdamState)
+        )
+        if isinstance(s, RiemannianAdamState)
+    ]
+    if not states or states[0].ema == ():
+        raise ValueError(
+            "no parameter EMA in this optimizer state — construct with "
+            "riemannian_adam(ema_decay=...) / Trainer(ema_decay=...)"
+        )
+    return states[0].ema

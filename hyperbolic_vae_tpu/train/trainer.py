@@ -35,7 +35,12 @@ import optax
 
 from hyperbolic_vae_tpu.data.core import ArrayDataModule
 from hyperbolic_vae_tpu.manifolds import PoincareBall
-from hyperbolic_vae_tpu.optim import EarlyStopping, ReduceLROnPlateau, riemannian_adam
+from hyperbolic_vae_tpu.optim import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    ema_params,
+    riemannian_adam,
+)
 from hyperbolic_vae_tpu.parallel.mesh import data_sharding, make_mesh, replicated
 from hyperbolic_vae_tpu.train.metrics import MetricLogger
 
@@ -50,6 +55,10 @@ class TrainResult:
     best_metric: float
     epochs_run: int
     samples_per_sec: float
+    # Polyak/EMA of the parameters over the whole run (None unless the
+    # Trainer was built with ema_decay=...) — evaluate with
+    # trainer.evaluate(dm, params=result.ema_params)
+    ema_params: Any = None
 
 
 class Trainer:
@@ -81,6 +90,7 @@ class Trainer:
         param_sharding_fn=None,  # optional fn(params, mesh) -> sharding pytree (tensor parallelism)
         moment_dtype: Optional[str] = None,  # Adam moment STORAGE dtype (e.g. 'bfloat16'); None = follow params
         hp_model_fn=None,  # optional fn(hp dict of scalars) -> flax model: hyperparameter-LANE sweeps (fit_lane_sweep)
+        ema_decay: Optional[float] = None,  # parameter EMA (Polyak averaging) tracked in the optimizer state
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -123,6 +133,11 @@ class Trainer:
         self.hp_model_fn = hp_model_fn
         if hp_model_fn is not None and (loss_fn or train_step_fn):
             raise ValueError("hp_model_fn does not compose with loss_fn/train_step_fn")
+        if ema_decay is not None and train_step_fn is not None:
+            # a full-step override replaces the optimizer chain entirely,
+            # so the EMA (which lives in riemannian_adam's state) would
+            # silently never update
+            raise ValueError("ema_decay does not compose with train_step_fn")
         self.lr = float(lr if lr is not None else getattr(model, "lr", 1e-3))
         self.max_epochs = max_epochs
         self.seed = seed
@@ -146,6 +161,10 @@ class Trainer:
         # values and breaking dtype agreement between the chunk
         # program's cond branches).
         self._moment_dtype = moment_dtype
+        # parameter EMA: manifold leaves average in T_0 (exactly
+        # on-manifold), Euclidean leaves linearly; lives in the optimizer
+        # state so chunked programs / checkpoints / FSDP need no plumbing
+        self._ema_decay = ema_decay
         self._optimizer = self._make_optimizer(ball)
 
         self._plateau_cfg = dict(
@@ -187,9 +206,11 @@ class Trainer:
         the traced program); the transformation itself is pure jnp."""
         return optax.inject_hyperparams(
             riemannian_adam,
-            static_args=("ball", "b1", "b2", "eps", "weight_decay", "moment_dtype"),
+            static_args=("ball", "b1", "b2", "eps", "weight_decay",
+                         "moment_dtype", "ema_decay"),
             hyperparam_dtype=jnp.float32,
-        )(learning_rate=self.lr, ball=ball, moment_dtype=self._moment_dtype)
+        )(learning_rate=self.lr, ball=ball, moment_dtype=self._moment_dtype,
+          ema_decay=self._ema_decay)
 
     def _build_epoch_fns(self, n_train: int, batch_size: int, n_val: int):
         steps = n_train // batch_size
@@ -836,6 +857,14 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
+            if self._ema_decay is not None:
+                # the Polyak-averaged weights as their own self-describing
+                # checkpoint: restore_model(dir, "ema") serves/evals them
+                # like any other (docs/API.md, --ema-decay on every CLI)
+                self._ckpt_mgr._save(
+                    "ema", ema_params(opt_state),
+                    {"epoch": epochs_run - 1, "ema_decay": self._ema_decay},
+                )
             # saves are async (background commit thread): fit() returning
             # is the durability point callers rely on (copying the run
             # dir, exiting the process)
@@ -850,6 +879,8 @@ class Trainer:
             best_metric=best_metric,
             epochs_run=epochs_run,
             samples_per_sec=sps,
+            ema_params=(ema_params(opt_state)
+                        if self._ema_decay is not None else None),
         )
 
     def _fit_chunked(
@@ -953,6 +984,14 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
+            if self._ema_decay is not None:
+                # the Polyak-averaged weights as their own self-describing
+                # checkpoint: restore_model(dir, "ema") serves/evals them
+                # like any other (docs/API.md, --ema-decay on every CLI)
+                self._ckpt_mgr._save(
+                    "ema", ema_params(opt_state),
+                    {"epoch": epochs_run - 1, "ema_decay": self._ema_decay},
+                )
             # saves are async (background commit thread): fit() returning
             # is the durability point callers rely on (copying the run
             # dir, exiting the process)
@@ -967,6 +1006,8 @@ class Trainer:
             best_metric=best_metric,
             epochs_run=epochs_run,
             samples_per_sec=sps,
+            ema_params=(ema_params(opt_state)
+                        if self._ema_decay is not None else None),
         )
 
     def fit_ensemble(self, dm: ArrayDataModule, seeds: Sequence[int],

@@ -303,3 +303,133 @@ def test_plateau_never_raises_lr():
     pl2 = ReduceLROnPlateau(lr=1e-3, factor=0.2, patience=0, min_lr=5e-5)
     pl2.step(1.0)
     assert abs(pl2.step(2.0) - 2e-4) < 1e-9  # normal reduction still applies (f32)
+
+
+# --------------------------------------------------------------------- #
+# parameter EMA (Polyak averaging) tracked in the optimizer state
+
+
+def test_ema_euclidean_matches_hand_lerp():
+    import optax
+
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    params = {"dense": {"kernel": jnp.array([1.0, -2.0, 3.0])}}
+    d = 0.9
+    ra = riemannian_adam(1e-2, ema_decay=d)
+    state = ra.init(params)
+    p = params
+    expected = np.asarray(params["dense"]["kernel"])
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        grads = {"dense": {"kernel": jnp.asarray(rng.normal(size=3), jnp.float32)}}
+        u, state = ra.update(grads, state, p)
+        p = optax.apply_updates(p, u)
+        expected = d * expected + (1 - d) * np.asarray(p["dense"]["kernel"])
+    got = ema_params(state)["dense"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
+
+
+def test_ema_manifold_tangent_space_golden_and_in_ball():
+    """Manifold leaves average in T_0: after one step
+    ema = expmap0(d*logmap0(p0) + (1-d)*logmap0(p1)) — and the EMA stays
+    strictly inside the ball under many large steps."""
+    import optax
+
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    ball = PoincareBall(c=1.0)
+    p0 = jnp.array([0.3, 0.1])
+    params = {"g": {"mp_points": p0}}
+    d = 0.8
+    ra = riemannian_adam(5e-2, ball=ball, ema_decay=d)
+    state = ra.init(params)
+    u, state = ra.update({"g": {"mp_points": jnp.array([0.5, -0.2])}}, state, params)
+    p1 = optax.apply_updates(params, u)["g"]["mp_points"]
+    expected = ball.expmap0(d * ball.logmap0(p0) + (1 - d) * ball.logmap0(p1))
+    got = ema_params(state)["g"]["mp_points"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-7)
+
+    # boundary stress: huge alternating grads, EMA must stay in the ball
+    p = {"g": {"mp_points": jnp.array([[0.9, 0.0], [0.0, -0.9]])}}
+    ra = riemannian_adam(1.0, ball=ball, ema_decay=0.99)
+    state = ra.init(p)
+    for i in range(20):
+        grads = {"g": {"mp_points": jnp.full((2, 2), 100.0 * (-1.0) ** i)}}
+        u, state = ra.update(grads, state, p)
+        p = optax.apply_updates(p, u)
+    norms = np.linalg.norm(np.asarray(ema_params(state)["g"]["mp_points"]), axis=-1)
+    assert np.all(norms < 1.0), norms
+
+
+def test_ema_decay_zero_tracks_params_exactly():
+    import optax
+
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    params = {"dense": {"kernel": jnp.array([1.0, -2.0])},
+              "g": {"mp_points": jnp.array([0.2, 0.4])}}
+    ra = riemannian_adam(1e-2, ema_decay=0.0)
+    state = ra.init(params)
+    p = params
+    for _ in range(3):
+        grads = jax.tree.map(jnp.ones_like, p)
+        u, state = ra.update(grads, state, p)
+        p = optax.apply_updates(p, u)
+    # d=0 -> ema is exactly the current point (tangent roundtrip for the
+    # manifold leaf is identity up to f32 transcendentals)
+    e = ema_params(state)
+    np.testing.assert_allclose(np.asarray(e["dense"]["kernel"]),
+                               np.asarray(p["dense"]["kernel"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(e["g"]["mp_points"]),
+                               np.asarray(p["g"]["mp_points"]), rtol=1e-5, atol=1e-7)
+
+
+def test_ema_absent_raises():
+    import pytest
+
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    ra = riemannian_adam(1e-2)
+    state = ra.init({"w": jnp.zeros(3)})
+    with pytest.raises(ValueError, match="no parameter EMA"):
+        ema_params(state)
+
+
+def test_trainer_ema_end_to_end_and_chunk_parity(tmp_path):
+    """Trainer(ema_decay=...): result.ema_params usable for evaluation,
+    manifold leaves in the ball, the chunked (K>1) program yields the
+    SAME EMA as K=1 (it lives in opt_state, which the chunk scans), and
+    the 'ema' checkpoint restores to the returned EMA."""
+    from hyperbolic_vae_tpu.data.mnist import make_data_module
+    from hyperbolic_vae_tpu.models import GyroplaneVAE
+    from hyperbolic_vae_tpu.train import Trainer
+    from hyperbolic_vae_tpu.train.checkpoint import restore_model
+
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+
+    def run(k, ckpt=None):
+        tr = Trainer(model, max_epochs=4, early_stopping_patience=None,
+                     check_finite=False, ema_decay=0.9, epochs_per_dispatch=k,
+                     checkpoint_dir=ckpt)
+        return tr, tr.fit(dm)
+
+    tr1, r1 = run(1, ckpt=str(tmp_path / "ck"))
+    _, rk = run(4)
+    # the self-describing 'ema' checkpoint restores the exact EMA
+    _, ema_restored, meta = restore_model(str(tmp_path / "ck"), "ema")
+    assert meta["ema_decay"] == 0.9
+    for a, b in zip(jax.tree.leaves(ema_restored), jax.tree.leaves(r1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert r1.ema_params is not None
+    for l1, lk in zip(jax.tree.leaves(r1.ema_params), jax.tree.leaves(rk.ema_params)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(lk))
+    saw_manifold = False
+    for path, leaf in jax.tree_util.tree_flatten_with_path(r1.ema_params)[0]:
+        if any(str(getattr(k, "key", k)).startswith("mp_") for k in path):
+            saw_manifold = True
+            assert np.all(np.linalg.norm(np.asarray(leaf), axis=-1) < 1.0)
+    assert saw_manifold
+    m = tr1.evaluate(dm, r1.ema_params, split="val")
+    assert np.isfinite(m["val/loss_total"])
