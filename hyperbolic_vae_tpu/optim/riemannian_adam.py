@@ -99,7 +99,10 @@ def riemannian_adam(
     parameterize points (nn/layers.py expmap0 reparameterization).
     Extract with ``ema_params(opt_state)``. The EMA is computed from
     the exact post-apply params (p + update in the stored dtype, the
-    same arithmetic optax.apply_updates performs).
+    same arithmetic optax.apply_updates performs) and STORED IN f32
+    regardless of the parameter dtype: with bf16 parameter storage the
+    per-step increment ((1-d) of the gap) would round to zero against
+    bf16's ~0.39% relative resolution and the EMA would silently freeze.
     """
 
     ball = ball or PoincareBall(c=1.0)
@@ -112,10 +115,14 @@ def riemannian_adam(
             count=jnp.zeros([], jnp.int32),
             exp_avg=jax.tree.map(_moment_zeros, params),
             exp_avg_sq=jax.tree.map(_moment_zeros, params),
-            # jnp.copy, NOT asarray: the EMA must not ALIAS the param
+            # a fresh f32 copy per leaf: (a) must not ALIAS the param
             # buffers (the trainer donates params and opt_state to the
-            # same dispatch — an aliased leaf is a double donation)
-            ema=(jax.tree.map(jnp.copy, params)
+            # same dispatch — an aliased leaf is a double donation);
+            # (b) stored in f32 regardless of param dtype — with bf16
+            # parameter storage a bf16 EMA increment (1-d of the gap,
+            # e.g. 0.1%) rounds to ZERO against bf16's ~0.39% resolution
+            # and the EMA silently freezes at init
+            ema=(jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params)
                  if ema_decay is not None else ()),
         )
 
@@ -170,16 +177,14 @@ def riemannian_adam(
             def ema_leaf(is_manifold, u, p, e):
                 # exact post-apply point: p + u in the STORED dtype is the
                 # same arithmetic optax.apply_updates performs, so the EMA
-                # tracks the actual parameter trajectory bit-for-bit
+                # tracks the actual parameter trajectory bit-for-bit.
+                # e is f32 master storage (see init_fn) — never narrowed.
                 new_p = (p + u).astype(jnp.float32)
-                e32 = e.astype(jnp.float32)
                 if is_manifold:
                     t_new = ball.logmap0(new_p)
-                    t_ema = ball.logmap0(e32)
-                    out = ball.project(ball.expmap0(d * t_ema + (1.0 - d) * t_new))
-                else:
-                    out = d * e32 + (1.0 - d) * new_p
-                return out.astype(e.dtype)
+                    t_ema = ball.logmap0(e)
+                    return ball.project(ball.expmap0(d * t_ema + (1.0 - d) * t_new))
+                return d * e + (1.0 - d) * new_p
 
             new_ema = jax.tree.map(ema_leaf, labels, updates, params, state.ema)
         else:
@@ -201,7 +206,7 @@ def ema_params(opt_state):
         )
         if isinstance(s, RiemannianAdamState)
     ]
-    if not states or states[0].ema == ():
+    if not states or (isinstance(states[0].ema, tuple) and states[0].ema == ()):
         raise ValueError(
             "no parameter EMA in this optimizer state — construct with "
             "riemannian_adam(ema_decay=...) / Trainer(ema_decay=...)"

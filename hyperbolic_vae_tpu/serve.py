@@ -38,6 +38,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def model_data_shape(model) -> tuple:
+    """Per-sample feature shape of a model's INPUT, by the repo's model
+    conventions (data_shape on image families, input_size/in_features on
+    the 1-D families). Raises on a model exposing none — a silent wrong
+    shape would propagate into warmup/export/manifests."""
+    shape = (
+        getattr(model, "data_shape", None)
+        or getattr(model, "input_size", None)
+        or getattr(model, "in_features", None)
+    )
+    if not shape:
+        raise AttributeError(
+            f"{type(model).__name__} exposes none of data_shape/"
+            "input_size/in_features — pass data_shape explicitly"
+        )
+    return (shape,) if isinstance(shape, int) else tuple(shape)
+
+
 class Inferencer:
     """Fixed-batch, padded, jit-compiled inference endpoint.
 
@@ -209,19 +227,17 @@ class Inferencer:
         return len(self._compiled)
 
     def warmup(self, data_shape: Optional[tuple] = None,
-               methods: tuple = ("reconstruct", "encode")):
+               methods: tuple = ("reconstruct", "encode", "decode")):
         """Pay every compile before traffic arrives (first TPU compile can
         take minutes through a remote relay): primes the FULL bucket set
-        per method, so no request size triggers a compile later."""
-        shape = tuple(
-            data_shape
-            or getattr(self.model, "data_shape", None)
-            or getattr(self.model, "input_size", None)
-            or (self.model.in_features,)
-        )
+        per method — including decode's latent-shaped programs — so no
+        request on any endpoint triggers a compile later."""
+        shape = tuple(data_shape) if data_shape else model_data_shape(self.model)
         for method in methods:
+            feat = ((int(self.model.latent_dim),) if method == "decode"
+                    else shape)
             for k in self._buckets:
-                x = np.zeros((k * self.batch_size,) + shape, np.float32)
+                x = np.zeros((k * self.batch_size,) + feat, np.float32)
                 getattr(self, method)(x)
         return self
 
@@ -251,12 +267,7 @@ class Inferencer:
 
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        data_shape = tuple(
-            data_shape
-            or getattr(self.model, "data_shape", None)
-            or getattr(self.model, "input_size", None)
-            or (self.model.in_features,)
-        )
+        data_shape = tuple(data_shape) if data_shape else model_data_shape(self.model)
         latent_dim = int(latent_dim or getattr(self.model, "latent_dim"))
         pspec = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), self.params

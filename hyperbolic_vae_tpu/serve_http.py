@@ -93,18 +93,39 @@ class CoalescingDispatcher:
         self.max_wait_ms = float(max_wait_ms)
         self.n_dispatches = 0  # observability: device dispatch groups run
         self.n_requests = 0
+        self._closed = False
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def call(self, method: str, x: np.ndarray):
+        if self._closed:
+            raise RuntimeError("dispatcher is closed")
         fut: Future = Future()
         self._q.put((method, np.asarray(x, np.float32), fut))
+        if self._closed and not self._thread.is_alive():
+            # raced close(): the loop may have exited before our put —
+            # drain so this future (and any other straggler) resolves
+            self._fail_pending()
         return fut.result()
 
     def close(self):
+        # flag first so new call()s fail fast; the loop then fails any
+        # request that raced the sentinel into the queue (no caller may
+        # be left blocking forever on an unresolved Future)
+        self._closed = True
         self._q.put(self._CLOSE)
         self._thread.join(timeout=10)
+        self._fail_pending()
+
+    def _fail_pending(self):
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not self._CLOSE and not item[2].done():
+                item[2].set_exception(RuntimeError("dispatcher is closed"))
 
     # ------------------------------------------------------------------ #
 
@@ -130,6 +151,7 @@ class CoalescingDispatcher:
         while True:
             item = self._q.get()
             if item is self._CLOSE:
+                self._fail_pending()
                 return
             batch, closing = self._drain(item)
             groups: dict = {}
@@ -153,6 +175,7 @@ class CoalescingDispatcher:
                         if not fut.done():
                             fut.set_exception(e)
             if closing:
+                self._fail_pending()
                 return
 
 
@@ -259,6 +282,8 @@ class InferenceServer:
         self._thread: Optional[threading.Thread] = None
 
     def manifest(self) -> dict:
+        from hyperbolic_vae_tpu.serve import model_data_shape
+
         inf = self.inferencer
         m = getattr(inf, "_manifest", None)
         return {
@@ -266,11 +291,8 @@ class InferenceServer:
             "max_batches_per_dispatch": inf.max_batches_per_dispatch,
             "buckets": list(inf._buckets),
             "methods": list(_METHODS),
-            "data_shape": list(m["data_shape"]) if m else list(
-                getattr(inf.model, "data_shape", None)
-                or getattr(inf.model, "input_size", None)
-                or (getattr(inf.model, "in_features", 0),)
-            ),
+            "data_shape": list(m["data_shape"]) if m
+            else list(model_data_shape(inf.model)),
         }
 
     def start(self) -> "InferenceServer":

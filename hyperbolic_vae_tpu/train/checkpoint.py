@@ -90,6 +90,11 @@ class CheckpointManager:
     def save_last(self, epoch: int, params: Any, metrics: dict) -> None:
         self._save("last", params, {"epoch": epoch, **metrics})
 
+    def save_named(self, name: str, params: Any, meta: dict) -> None:
+        """A param checkpoint under any name (e.g. 'ema'), self-describing
+        like best/last — restore_model(dir, name) rebuilds and loads it."""
+        self._save(name, params, meta)
+
     def wait_until_finished(self) -> None:
         """Block until in-flight saves are committed. StandardCheckpointer
         is an AsyncCheckpointer: ``save()`` returns with the array write

@@ -280,6 +280,15 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
             ml.close()
     trainer.metric_logger.close()
 
+    # the EMA rides in each lane's optimizer state (leading seed axis) —
+    # slice it out per seed like params, so ensembles don't silently
+    # drop Trainer(ema_decay=...)
+    ema_stack = None
+    if trainer._ema_decay is not None:
+        from hyperbolic_vae_tpu.optim import ema_params as _ema_of
+
+        ema_stack = _ema_of(opt_state)
+
     results = []
     for s in range(n_seeds):
         # label/content consistency: the in-graph best tracking must agree
@@ -297,6 +306,7 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
                 best_metric=best_metric[s],
                 epochs_run=epochs_run[s],
                 samples_per_sec=agg_sps,
+                ema_params=(_lane(ema_stack, s) if ema_stack is not None else None),
             )
         )
     return results

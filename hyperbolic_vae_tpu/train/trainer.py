@@ -857,14 +857,7 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
-            if self._ema_decay is not None:
-                # the Polyak-averaged weights as their own self-describing
-                # checkpoint: restore_model(dir, "ema") serves/evals them
-                # like any other (docs/API.md, --ema-decay on every CLI)
-                self._ckpt_mgr._save(
-                    "ema", ema_params(opt_state),
-                    {"epoch": epochs_run - 1, "ema_decay": self._ema_decay},
-                )
+            self._save_ema_checkpoint(opt_state, epochs_run - 1)
             # saves are async (background commit thread): fit() returning
             # is the durability point callers rely on (copying the run
             # dir, exiting the process)
@@ -881,6 +874,17 @@ class Trainer:
             samples_per_sec=sps,
             ema_params=(ema_params(opt_state)
                         if self._ema_decay is not None else None),
+        )
+
+    def _save_ema_checkpoint(self, opt_state, epoch: int) -> None:
+        """The Polyak-averaged weights as their own self-describing
+        checkpoint: restore_model(dir, "ema") serves/evals them like any
+        other (docs/API.md, --ema-decay on every CLI)."""
+        if self._ema_decay is None:
+            return
+        self._ckpt_mgr.save_named(
+            "ema", ema_params(opt_state),
+            {"epoch": epoch, "ema_decay": self._ema_decay},
         )
 
     def _fit_chunked(
@@ -984,14 +988,7 @@ class Trainer:
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
-            if self._ema_decay is not None:
-                # the Polyak-averaged weights as their own self-describing
-                # checkpoint: restore_model(dir, "ema") serves/evals them
-                # like any other (docs/API.md, --ema-decay on every CLI)
-                self._ckpt_mgr._save(
-                    "ema", ema_params(opt_state),
-                    {"epoch": epochs_run - 1, "ema_decay": self._ema_decay},
-                )
+            self._save_ema_checkpoint(opt_state, epochs_run - 1)
             # saves are async (background commit thread): fit() returning
             # is the durability point callers rely on (copying the run
             # dir, exiting the process)

@@ -307,3 +307,25 @@ def test_ensemble_rejects_unsupported_modes(dm, tmp_path):
     t = Trainer(model, max_epochs=2, use_mesh=True)
     with pytest.raises(ValueError, match="mesh"):
         t.fit_ensemble(dm, [0, 1])
+
+
+def test_ensemble_ema_matches_sequential(dm):
+    """Trainer(ema_decay=...) through fit_ensemble: each lane's EMA is
+    returned and equals the sequential fit's (review finding: it used to
+    be silently dropped)."""
+    import jax
+
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(model, max_epochs=3, early_stopping_patience=None,
+                      epochs_per_dispatch=3, check_finite=False,
+                      ema_decay=0.9)
+    seq = []
+    for s in SEEDS[:2]:
+        trainer.seed = s
+        seq.append(trainer.fit(dm))
+    ens = trainer.fit_ensemble(dm, SEEDS[:2])
+    for a, b in zip(seq, ens):
+        assert b.ema_params is not None
+        for la, lb in zip(jax.tree.leaves(a.ema_params),
+                          jax.tree.leaves(b.ema_params)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -433,3 +433,32 @@ def test_trainer_ema_end_to_end_and_chunk_parity(tmp_path):
     assert saw_manifold
     m = tr1.evaluate(dm, r1.ema_params, split="val")
     assert np.isfinite(m["val/loss_total"])
+
+
+def test_ema_bf16_params_master_f32_does_not_freeze():
+    """EMA storage is f32 regardless of param dtype: with bf16 params and
+    a high decay, a bf16-stored EMA increment would round to zero every
+    step and freeze at init (review finding)."""
+    import optax
+
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    params = {"w": jnp.full((8,), 1.0, jnp.bfloat16)}
+    ra = riemannian_adam(1e-2, ema_decay=0.999)
+    state = ra.init(params)
+    assert state.ema["w"].dtype == jnp.float32
+    p = params
+    for _ in range(10):
+        u, state = ra.update({"w": jnp.ones(8, jnp.bfloat16)}, state, p)
+        p = optax.apply_updates(p, u)
+    drift = np.abs(np.asarray(ema_params(state)["w"]) - 1.0)
+    # ~10 steps of (1-d)*step drift; must be visibly nonzero in f32
+    assert np.all(drift > 1e-5), drift
+
+
+def test_ema_params_on_bare_array_tree():
+    from hyperbolic_vae_tpu.optim import ema_params
+
+    ra = riemannian_adam(1e-2, ema_decay=0.9)
+    state = ra.init(jnp.zeros(3))
+    np.testing.assert_array_equal(np.asarray(ema_params(state)), np.zeros(3))

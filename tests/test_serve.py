@@ -173,3 +173,36 @@ def test_serve_conv_family(tmp_path):
     assert mu.shape == (40, 4) and np.all(np.isfinite(mu))
     xh = inf.reconstruct(x[:10])
     assert xh.shape == (10, 32, 32, 3) and np.all(np.isfinite(xh))
+
+
+def test_warmup_primes_decode_too(trained):
+    """A production server must never compile on a live request — decode
+    included (review finding: the default warmup skipped decode, so the
+    first /v1/decode paid a relay compile)."""
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=16,
+                     max_batches_per_dispatch=4)
+    inf.warmup()  # default methods: reconstruct + encode + decode
+    primed = inf.n_programs
+    z = np.asarray(inf.embed(dm.x_train[:5]))
+    for n in [1, 17, 64]:
+        inf.decode(np.repeat(z, 13, axis=0)[:n])
+    assert inf.n_programs == primed
+
+
+def test_model_data_shape_helper():
+    from hyperbolic_vae_tpu.serve import model_data_shape
+
+    class _Img:
+        data_shape = (28, 28, 1)
+
+    class _Vec:
+        input_size = 20480
+
+    class _Bare:
+        pass
+
+    assert model_data_shape(_Img()) == (28, 28, 1)
+    assert model_data_shape(_Vec()) == (20480,)
+    with pytest.raises(AttributeError, match="data_shape"):
+        model_data_shape(_Bare())

@@ -311,3 +311,25 @@ def test_bundle_backend_over_http(served, tmp_path):
         assert m["data_shape"] == [28, 28, 1]
     finally:
         s2.shutdown()
+
+
+def test_dispatcher_close_fails_fast_and_drains():
+    """After close(): new call()s raise immediately, and requests that
+    raced into the queue are failed rather than hung (review finding)."""
+    from hyperbolic_vae_tpu.serve_http import CoalescingDispatcher
+
+    eng = _SlowFakeEngine()
+    eng._first = False
+    eng.release_first.set()
+    disp = CoalescingDispatcher(eng)
+    disp.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        disp.call("embed", np.ones((1, 3), np.float32))
+    # a future snuck into the queue around close() must be resolved
+    from concurrent.futures import Future
+
+    fut = Future()
+    disp._q.put(("embed", np.ones((1, 3), np.float32), fut))
+    disp._fail_pending()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=5)
