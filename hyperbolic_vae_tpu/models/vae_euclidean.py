@@ -27,6 +27,13 @@ import jax.numpy as jnp
 
 from hyperbolic_vae_tpu.distributions import kl_std_normal_from_logvar
 
+# torch ConvTranspose2d(kernel_size=3, stride=2, padding=1, output_padding=1)
+# pads the dilated input (1 low, 2 high) per spatial dim — the reference's
+# upsampling geometry (vae_euclidean.py:60-68). flax 'SAME' would pad (2, 1),
+# a one-pixel alignment flip; the explicit spec keeps torch-trained weights
+# importable exactly (interop/torch_import.py).
+CONVT_PADDING = ((1, 2), (1, 2))
+
 
 class ConvEncoder(fnn.Module):
     hidden_size: int = 32
@@ -58,11 +65,11 @@ class ConvDecoder(fnn.Module):
         h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8
         x = fnn.gelu(fnn.Dense(2 * c * h8 * w8, dtype=dt)(z.astype(dt)))
         x = x.reshape(z.shape[0], h8, w8, 2 * c)
-        x = fnn.gelu(fnn.ConvTranspose(2 * c, (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x))
+        x = fnn.gelu(fnn.ConvTranspose(2 * c, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)(x))
         x = fnn.gelu(fnn.Conv(2 * c, (3, 3), padding=1, dtype=dt)(x))
-        x = fnn.gelu(fnn.ConvTranspose(c, (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x))
+        x = fnn.gelu(fnn.ConvTranspose(c, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)(x))
         x = fnn.gelu(fnn.Conv(c, (3, 3), padding=1, dtype=dt)(x))
-        x = fnn.ConvTranspose(self.data_shape[2], (3, 3), strides=(2, 2), padding='SAME', dtype=dt)(x)
+        x = fnn.ConvTranspose(self.data_shape[2], (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)(x)
         x = x.astype(jnp.float32)
         if self.final_activation == "tanh":
             x = fnn.tanh(x)

@@ -33,6 +33,7 @@ from hyperbolic_vae_tpu.distributions import (
     wrapped_normal_rsample,
 )
 from hyperbolic_vae_tpu.manifolds import PoincareBall
+from hyperbolic_vae_tpu.models.vae_euclidean import CONVT_PADDING
 from hyperbolic_vae_tpu.nn import GeodesicLayer, MobiusLayer, PoincareHyperplanes
 
 
@@ -87,12 +88,12 @@ class HyperbolicImageVAE(fnn.Module):
             )
         else:
             raise ValueError(d)
-        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)
+        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
         self.conv4 = fnn.Conv(32, (3, 3), padding=1, dtype=dt)
-        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding="SAME", dtype=dt)
+        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
         self.conv5 = fnn.Conv(16, (3, 3), padding=1, dtype=dt)
         self.deconv3 = fnn.ConvTranspose(
-            self.data_shape[2], (3, 3), strides=(2, 2), padding="SAME", dtype=dt
+            self.data_shape[2], (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt
         )
 
     def encode(self, x):
