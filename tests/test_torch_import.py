@@ -483,3 +483,24 @@ def test_import_cli_end_to_end(tmp_path):
     with torch.no_grad():
         mu_t, _ = t.encode(torch.from_numpy(x.copy()))
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=1e-5)
+
+
+def test_finetune_imported_checkpoint():
+    """Imported torch weights warm-start Trainer.fit (the migrate-then-
+    fine-tune path): loss decreases from the imported starting point."""
+    from hyperbolic_vae_tpu.data import mnist
+    from hyperbolic_vae_tpu.train import Trainer
+
+    torch.manual_seed(9)
+    t = _TorchFlagship(numel=28 * 28)
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2)
+    params = import_torch_state_dict(model, sd)
+
+    dm = mnist.make_data_module(batch_size=64, synthetic=True, n_train=512, n_test=64)
+    trainer = Trainer(model, max_epochs=3, early_stopping_patience=None,
+                      check_finite=False)
+    first = trainer.evaluate(dm, params, split="val")["val/loss_total"]
+    res = trainer.fit(dm, params=params)
+    assert np.isfinite(res.history[-1]["val/loss_total"])
+    assert res.history[-1]["val/loss_total"] < first
