@@ -29,6 +29,9 @@ Design constraints that shaped it:
 Endpoints:
   GET  /v1/health            {"status": "ok", "programs": N}
   GET  /v1/manifest          batch size, buckets, methods, shapes
+  GET  /v1/metrics           per-endpoint request/row/error counters +
+                             latency quantiles (JSON; add
+                             ``?format=prometheus`` for text exposition)
   POST /v1/encode            posterior parameters (JSON: all outputs)
   POST /v1/embed             the on-manifold mean only (one array)
   POST /v1/decode            latents -> reconstruction
@@ -54,6 +57,85 @@ from typing import Optional
 import numpy as np
 
 _METHODS = ("encode", "embed", "decode", "reconstruct")
+
+
+class ServerMetrics:
+    """Thread-safe request counters + bounded latency reservoirs.
+
+    Quantiles are computed over the last ``window`` observations per
+    endpoint (a deque ring buffer) — enough for live p99 without
+    unbounded memory on a long-lived serving process."""
+
+    def __init__(self, window: int = 2048):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self.started_at = time.time()
+        self._window = window
+        self._lat = {m: deque(maxlen=window) for m in _METHODS}
+        self._requests = {m: 0 for m in _METHODS}
+        self._rows = {m: 0 for m in _METHODS}
+        self._errors = {"bad_request": 0, "inference_failed": 0}
+
+    def observe(self, endpoint: str, rows: int, seconds: float) -> None:
+        with self._lock:
+            self._requests[endpoint] += 1
+            self._rows[endpoint] += int(rows)
+            self._lat[endpoint].append(seconds)
+
+    def error(self, kind: str) -> None:
+        with self._lock:
+            self._errors[kind] += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            endpoints = {}
+            for m in _METHODS:
+                lat = np.asarray(self._lat[m], np.float64)
+                row = {"requests": self._requests[m], "rows": self._rows[m]}
+                if lat.size:
+                    p50, p90, p99 = np.percentile(lat, [50, 90, 99]) * 1e3
+                    row.update(
+                        p50_ms=round(float(p50), 3),
+                        p90_ms=round(float(p90), 3),
+                        p99_ms=round(float(p99), 3),
+                        window=int(lat.size),
+                    )
+                endpoints[m] = row
+            return {
+                "uptime_s": round(time.time() - self.started_at, 3),
+                "endpoints": endpoints,
+                "errors": dict(self._errors),
+            }
+
+    def prometheus(self, snapshot: dict) -> str:
+        """Prometheus text exposition of :meth:`snapshot` (plus whatever
+        scalar gauges the caller merged into it)."""
+        lines = [
+            "# TYPE hvt_uptime_seconds gauge",
+            f"hvt_uptime_seconds {snapshot['uptime_s']}",
+        ]
+        for k in ("programs", "dispatch_groups", "requests_served"):
+            if k in snapshot:
+                lines += [f"# TYPE hvt_{k} gauge", f"hvt_{k} {snapshot[k]}"]
+        lines.append("# TYPE hvt_requests_total counter")
+        for m, row in snapshot["endpoints"].items():
+            lines.append(f'hvt_requests_total{{endpoint="{m}"}} {row["requests"]}')
+        lines.append("# TYPE hvt_rows_total counter")
+        for m, row in snapshot["endpoints"].items():
+            lines.append(f'hvt_rows_total{{endpoint="{m}"}} {row["rows"]}')
+        lines.append("# TYPE hvt_latency_ms gauge")
+        for m, row in snapshot["endpoints"].items():
+            for q in ("p50", "p90", "p99"):
+                if f"{q}_ms" in row:
+                    lines.append(
+                        f'hvt_latency_ms{{endpoint="{m}",quantile="{q}"}} '
+                        f"{row[f'{q}_ms']}"
+                    )
+        lines.append("# TYPE hvt_errors_total counter")
+        for k, v in snapshot["errors"].items():
+            lines.append(f'hvt_errors_total{{kind="{k}"}} {v}')
+        return "\n".join(lines) + "\n"
 
 
 def _to_arrays(out):
@@ -206,6 +288,7 @@ class InferenceServer:
             CoalescingDispatcher(inferencer, max_wait_ms=max_wait_ms)
             if coalesce else None
         )
+        self.metrics = ServerMetrics()
         self._device_lock = threading.Lock()
         server = self
 
@@ -236,6 +319,19 @@ class InferenceServer:
                     self._reply_json(200, h)
                 elif self.path == "/v1/manifest":
                     self._reply_json(200, server.manifest())
+                elif self.path.split("?")[0] == "/v1/metrics":
+                    snap = server.metrics.snapshot()
+                    snap["programs"] = server.inferencer.n_programs
+                    if server.dispatcher is not None:
+                        snap["dispatch_groups"] = server.dispatcher.n_dispatches
+                        snap["requests_served"] = server.dispatcher.n_requests
+                    if "format=prometheus" in (self.path.split("?") + [""])[1]:
+                        self._reply(
+                            200, server.metrics.prometheus(snap).encode(),
+                            "text/plain; version=0.0.4",
+                        )
+                    else:
+                        self._reply_json(200, snap)
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
@@ -256,8 +352,10 @@ class InferenceServer:
                     else:
                         x = np.asarray(json.loads(body)["data"], np.float32)
                 except Exception as e:  # malformed request, not a bug
+                    server.metrics.error("bad_request")
                     self._reply_json(400, {"error": f"bad request: {e}"})
                     return
+                t_start = time.perf_counter()
                 try:
                     if server.dispatcher is not None:
                         out = _to_arrays(server.dispatcher.call(name, x))
@@ -265,8 +363,12 @@ class InferenceServer:
                         with server._device_lock:
                             out = _to_arrays(getattr(server.inferencer, name)(x))
                 except Exception as e:
+                    server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})
                     return
+                server.metrics.observe(
+                    name, len(x), time.perf_counter() - t_start
+                )
                 if ctype == "application/octet-stream":
                     a = np.ascontiguousarray(out[0], np.dtype("<f4"))
                     self._reply(

@@ -333,3 +333,49 @@ def test_dispatcher_close_fails_fast_and_drains():
     disp._fail_pending()
     with pytest.raises(RuntimeError, match="closed"):
         fut.result(timeout=5)
+
+
+def test_metrics_endpoint(served):
+    """/v1/metrics: per-endpoint counters + latency quantiles, error
+    counting, and the Prometheus text exposition."""
+    dm, inf, server = served
+    before = json.loads(
+        urllib.request.urlopen(_url(server, "/v1/metrics"), timeout=10).read()
+    )
+    n0 = before["endpoints"]["embed"]["requests"]
+    rows0 = before["endpoints"]["embed"]["rows"]
+
+    for _ in range(3):
+        _post_json(server, "embed", dm.x_train[:7])
+
+    snap = json.loads(
+        urllib.request.urlopen(_url(server, "/v1/metrics"), timeout=10).read()
+    )
+    e = snap["endpoints"]["embed"]
+    assert e["requests"] == n0 + 3
+    assert e["rows"] == rows0 + 21
+    assert e["p50_ms"] > 0 and e["p99_ms"] >= e["p50_ms"]
+    assert snap["uptime_s"] > 0 and snap["programs"] >= 1
+
+    # a malformed body increments bad_request, not an endpoint counter
+    bad0 = snap["errors"]["bad_request"]
+    req = urllib.request.Request(
+        _url(server, "/v1/embed"), data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 400
+    snap2 = json.loads(
+        urllib.request.urlopen(_url(server, "/v1/metrics"), timeout=10).read()
+    )
+    assert snap2["errors"]["bad_request"] == bad0 + 1
+
+    with urllib.request.urlopen(
+        _url(server, "/v1/metrics?format=prometheus"), timeout=10
+    ) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'hvt_requests_total{endpoint="embed"}' in text
+    assert 'hvt_latency_ms{endpoint="embed",quantile="p99"}' in text
+    assert f'hvt_errors_total{{kind="bad_request"}} {bad0 + 1}' in text
