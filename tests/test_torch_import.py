@@ -504,3 +504,77 @@ def test_finetune_imported_checkpoint():
     res = trainer.fit(dm, params=params)
     assert np.isfinite(res.history[-1]["val/loss_total"])
     assert res.history[-1]["val/loss_total"] < first
+
+
+# --------------------------------------------------------------------- #
+# reverse direction: export to torch layout (round-trip pins both maps)
+
+
+@pytest.mark.parametrize("family", [
+    "gyroplane", "rnaseq", "euclidean", "autoencoder",
+    "himage_gyroplane", "himage_riemannian",
+])
+def test_export_import_round_trip(family):
+    """export_torch_state_dict inverts import exactly: random flax params
+    -> torch layout -> re-import == identity, for every family/variant."""
+    from hyperbolic_vae_tpu.interop import export_torch_state_dict
+
+    key = jax.random.PRNGKey(hash(family) % (2**31))
+    if family == "gyroplane":
+        model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2)
+        x = jnp.zeros((1, 28, 28, 1))
+    elif family == "rnaseq":
+        model = RNASeqVAE(in_features=20, hidden_dim=8, latent_dim=2)
+        x = jnp.zeros((1, 20))
+    elif family == "euclidean":
+        model = EuclideanVAE(data_shape=(32, 32, 3), hidden_size=4, latent_dim=2)
+        x = jnp.zeros((1, 32, 32, 3))
+    elif family == "autoencoder":
+        model = Autoencoder(data_shape=(32, 32, 3), base_channel_size=4, latent_dim=16)
+        x = jnp.zeros((1, 32, 32, 3))
+    elif family == "himage_gyroplane":
+        model = HyperbolicImageVAE(
+            data_shape=(32, 32, 1), latent_dim=2,
+            decoder_first_layer_module="geoopt_gyroplane")
+        x = jnp.zeros((1, 32, 32, 1))
+    else:
+        model = HyperbolicImageVAE(
+            data_shape=(32, 32, 1), latent_dim=2,
+            encoder_last_layer_module="mobius",
+            decoder_first_layer_module="geodesic")
+        x = jnp.zeros((1, 32, 32, 1))
+
+    params = model.init({"params": key, "sample": key}, x)["params"]
+    sd = export_torch_state_dict(model, params)
+    back = import_torch_state_dict(model, sd)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(back)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_export_loads_into_torch_module():
+    """Exported state_dict loads into the torch replica and reproduces
+    our forward exactly (flagship; gyroplane bias carried over)."""
+    from hyperbolic_vae_tpu.interop import export_torch_state_dict
+
+    model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2)
+    key = jax.random.PRNGKey(11)
+    params = model.init({"params": key, "sample": key},
+                        jnp.zeros((1, 28, 28, 1)))["params"]
+    sd = export_torch_state_dict(model, params)
+
+    t = _TorchFlagship(numel=784)
+    # our layer has a bias; the geoopt stand-in is constructed with one
+    t.decoder[0] = _GyroplanesTorch(2, 16, 1.0, bias=True)
+    t.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()})
+
+    x = np.random.default_rng(11).random((4, 28, 28, 1), np.float32)
+    mu_j, scale_j = model.apply({"params": params}, jnp.asarray(x), method="encode")
+    with torch.no_grad():
+        mu_t, scale_t = t.encode(torch.from_numpy(x.copy()))
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale_j), scale_t.numpy(), atol=1e-5)
