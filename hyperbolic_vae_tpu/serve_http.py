@@ -67,18 +67,29 @@ class ServerMetrics:
     unbounded memory on a long-lived serving process."""
 
     def __init__(self, window: int = 2048):
-        from collections import deque
-
         self._lock = threading.Lock()
         self.started_at = time.time()
         self._window = window
-        self._lat = {m: deque(maxlen=window) for m in _METHODS}
-        self._requests = {m: 0 for m in _METHODS}
-        self._rows = {m: 0 for m in _METHODS}
+        # endpoint keys are "method" for the default model and
+        # "model/method" for registry models — created lazily
+        self._lat = {}
+        self._requests = {}
+        self._rows = {}
         self._errors = {"bad_request": 0, "inference_failed": 0}
+        for m in _METHODS:
+            self._ensure(m)
+
+    def _ensure(self, endpoint: str) -> None:
+        from collections import deque
+
+        if endpoint not in self._lat:
+            self._lat[endpoint] = deque(maxlen=self._window)
+            self._requests[endpoint] = 0
+            self._rows[endpoint] = 0
 
     def observe(self, endpoint: str, rows: int, seconds: float) -> None:
         with self._lock:
+            self._ensure(endpoint)
             self._requests[endpoint] += 1
             self._rows[endpoint] += int(rows)
             self._lat[endpoint].append(seconds)
@@ -90,7 +101,7 @@ class ServerMetrics:
     def snapshot(self) -> dict:
         with self._lock:
             endpoints = {}
-            for m in _METHODS:
+            for m in self._lat:
                 lat = np.asarray(self._lat[m], np.float64)
                 row = {"requests": self._requests[m], "rows": self._rows[m]}
                 if lat.size:
@@ -169,9 +180,16 @@ class CoalescingDispatcher:
     """
 
     _CLOSE = object()
+    _DEFAULT = "default"
 
     def __init__(self, inferencer, max_wait_ms: float = 0.0):
-        self.inferencer = inferencer
+        # single engine or a {name: engine} registry; one dispatcher
+        # thread still owns the device across ALL models
+        self.engines = (
+            dict(inferencer) if isinstance(inferencer, dict)
+            else {self._DEFAULT: inferencer}
+        )
+        self.inferencer = next(iter(self.engines.values()))
         self.max_wait_ms = float(max_wait_ms)
         self.n_dispatches = 0  # observability: device dispatch groups run
         self.n_requests = 0
@@ -180,11 +198,14 @@ class CoalescingDispatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def call(self, method: str, x: np.ndarray):
+    def call(self, method: str, x: np.ndarray, model: Optional[str] = None):
         if self._closed:
             raise RuntimeError("dispatcher is closed")
+        model = model or next(iter(self.engines))
+        if model not in self.engines:
+            raise KeyError(f"no model {model!r}; have {sorted(self.engines)}")
         fut: Future = Future()
-        self._q.put((method, np.asarray(x, np.float32), fut))
+        self._q.put((model, method, np.asarray(x, np.float32), fut))
         if self._closed and not self._thread.is_alive():
             # raced close(): the loop may have exited before our put —
             # drain so this future (and any other straggler) resolves
@@ -206,8 +227,8 @@ class CoalescingDispatcher:
                 item = self._q.get_nowait()
             except queue.Empty:
                 return
-            if item is not self._CLOSE and not item[2].done():
-                item[2].set_exception(RuntimeError("dispatcher is closed"))
+            if item is not self._CLOSE and not item[-1].done():
+                item[-1].set_exception(RuntimeError("dispatcher is closed"))
 
     # ------------------------------------------------------------------ #
 
@@ -237,14 +258,14 @@ class CoalescingDispatcher:
                 return
             batch, closing = self._drain(item)
             groups: dict = {}
-            for method, x, fut in batch:
-                groups.setdefault((method, x.shape[1:]), []).append((x, fut))
-            for (method, _), items in groups.items():
+            for model, method, x, fut in batch:
+                groups.setdefault((model, method, x.shape[1:]), []).append((x, fut))
+            for (model, method, _), items in groups.items():
                 self.n_dispatches += 1
                 self.n_requests += len(items)
                 try:
                     xs = [x for x, _ in items]
-                    out = getattr(self.inferencer, method)(
+                    out = getattr(self.engines[model], method)(
                         np.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
                     )
                     offs = np.cumsum([0] + [x.shape[0] for x in xs])
@@ -279,13 +300,28 @@ class InferenceServer:
     CoalescingDispatcher — concurrent small requests share one padded
     device dispatch. ``coalesce=False`` falls back to a plain lock
     (one dispatch per request, strictly serialized).
+
+    Pass a ``{name: Inferencer}`` dict to serve a MODEL REGISTRY from
+    one process (e.g. best + ema variants, or different families): the
+    first entry is the default model behind ``/v1/<method>``; every
+    model also answers ``/v1/models/<name>/<method>``; ``GET
+    /v1/models`` lists manifests. All models share the one dispatcher
+    thread (the device is still single-owner) and coalescing groups by
+    (model, method, shape).
     """
 
     def __init__(self, inferencer, host: str = "127.0.0.1", port: int = 8000,
                  coalesce: bool = True, max_wait_ms: float = 0.0):
-        self.inferencer = inferencer
+        self.engines = (
+            dict(inferencer) if isinstance(inferencer, dict)
+            else {"default": inferencer}
+        )
+        if not self.engines:
+            raise ValueError("empty model registry")
+        self.default_name = next(iter(self.engines))
+        self.inferencer = self.engines[self.default_name]
         self.dispatcher = (
-            CoalescingDispatcher(inferencer, max_wait_ms=max_wait_ms)
+            CoalescingDispatcher(self.engines, max_wait_ms=max_wait_ms)
             if coalesce else None
         )
         self.metrics = ServerMetrics()
@@ -312,13 +348,29 @@ class InferenceServer:
 
             def do_GET(self):  # noqa: N802
                 if self.path == "/v1/health":
-                    h = {"status": "ok", "programs": server.inferencer.n_programs}
+                    h = {
+                        "status": "ok",
+                        "programs": sum(
+                            e.n_programs for e in server.engines.values()
+                        ),
+                    }
                     if server.dispatcher is not None:
                         h["dispatch_groups"] = server.dispatcher.n_dispatches
                         h["requests_served"] = server.dispatcher.n_requests
                     self._reply_json(200, h)
                 elif self.path == "/v1/manifest":
                     self._reply_json(200, server.manifest())
+                elif self.path == "/v1/models":
+                    self._reply_json(
+                        200,
+                        {
+                            "default": server.default_name,
+                            "models": {
+                                name: server.manifest(name)
+                                for name in server.engines
+                            },
+                        },
+                    )
                 elif self.path.split("?")[0] == "/v1/metrics":
                     snap = server.metrics.snapshot()
                     snap["programs"] = server.inferencer.n_programs
@@ -336,8 +388,23 @@ class InferenceServer:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):  # noqa: N802
-                name = self.path.rsplit("/", 1)[-1]
-                if not self.path.startswith("/v1/") or name not in _METHODS:
+                parts = self.path.strip("/").split("/")
+                # /v1/<method>  |  /v1/models/<model>/<method>
+                model = None
+                if len(parts) == 2 and parts[0] == "v1":
+                    name = parts[1]
+                elif len(parts) == 4 and parts[:2] == ["v1", "models"]:
+                    model, name = parts[2], parts[3]
+                    if model not in server.engines:
+                        self._reply_json(
+                            404,
+                            {"error": f"no model {model!r}; "
+                             f"have {sorted(server.engines)}"},
+                        )
+                        return
+                else:
+                    name = ""
+                if name not in _METHODS:
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -356,18 +423,22 @@ class InferenceServer:
                     self._reply_json(400, {"error": f"bad request: {e}"})
                     return
                 t_start = time.perf_counter()
+                engine = server.engines[model or server.default_name]
                 try:
                     if server.dispatcher is not None:
-                        out = _to_arrays(server.dispatcher.call(name, x))
+                        out = _to_arrays(
+                            server.dispatcher.call(name, x, model=model)
+                        )
                     else:
                         with server._device_lock:
-                            out = _to_arrays(getattr(server.inferencer, name)(x))
+                            out = _to_arrays(getattr(engine, name)(x))
                 except Exception as e:
                     server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})
                     return
                 server.metrics.observe(
-                    name, len(x), time.perf_counter() - t_start
+                    name if model is None else f"{model}/{name}",
+                    len(x), time.perf_counter() - t_start,
                 )
                 if ctype == "application/octet-stream":
                     a = np.ascontiguousarray(out[0], np.dtype("<f4"))
@@ -383,10 +454,10 @@ class InferenceServer:
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
 
-    def manifest(self) -> dict:
+    def manifest(self, name: Optional[str] = None) -> dict:
         from hyperbolic_vae_tpu.serve import model_data_shape
 
-        inf = self.inferencer
+        inf = self.engines[name or self.default_name]
         m = getattr(inf, "_manifest", None)
         return {
             "batch_size": inf.batch_size,
@@ -425,6 +496,11 @@ def main(argv: Optional[list] = None):
     src.add_argument("--checkpoint", help="self-describing Orbax checkpoint dir")
     src.add_argument("--bundle", help="export_programs bundle dir (no model code)")
     p.add_argument("--name", default="best", help="checkpoint name (best/last)")
+    p.add_argument(
+        "--also", action="append", default=[], metavar="MODEL=CKPT_DIR[:NAME]",
+        help="serve an extra model from the same process under "
+             "/v1/models/MODEL/... (repeatable), e.g. --also ema=runs/f/ckpt:ema",
+    )
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
@@ -447,14 +523,28 @@ def main(argv: Optional[list] = None):
             args.checkpoint, name=args.name, batch_size=args.batch_size,
             max_batches_per_dispatch=args.max_batches_per_dispatch,
         )
+    engines = {"default": inf}
+    for spec in args.also:
+        mname, _, src = spec.partition("=")
+        if not mname or not src:
+            raise SystemExit(f"--also expects MODEL=CKPT_DIR[:NAME], got {spec!r}")
+        ckpt_dir, _, ckpt_name = src.rpartition(":")
+        if not ckpt_dir:  # no ":NAME" suffix
+            ckpt_dir, ckpt_name = src, "best"
+        engines[mname] = Inferencer.from_checkpoint(
+            ckpt_dir, name=ckpt_name, batch_size=args.batch_size,
+            max_batches_per_dispatch=args.max_batches_per_dispatch,
+        )
     if not args.no_warmup:
         print("warming up (compiling every method x bucket)...", flush=True)
-        inf.warmup()
-    server = InferenceServer(inf, host=args.host, port=args.port,
+        for e in engines.values():
+            e.warmup()
+    server = InferenceServer(engines, host=args.host, port=args.port,
                              coalesce=not args.no_coalesce,
                              max_wait_ms=args.max_wait_ms)
     print(f"serving on http://{server.host}:{server.port} "
-          f"(batch {inf.batch_size}, buckets {inf._buckets})", flush=True)
+          f"(batch {inf.batch_size}, buckets {inf._buckets}, "
+          f"models {sorted(engines)})", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -379,3 +379,103 @@ def test_metrics_endpoint(served):
     assert 'hvt_requests_total{endpoint="embed"}' in text
     assert 'hvt_latency_ms{endpoint="embed",quantile="p99"}' in text
     assert f'hvt_errors_total{{kind="bad_request"}} {bad0 + 1}' in text
+
+
+def test_model_registry(served):
+    """One process, multiple named models: per-model routes, /v1/models
+    listing, coalescing across models, labeled metrics, back-compat
+    default routes (review target: serve_http multi-model registry)."""
+    dm, inf, _ = served
+    # a second model with a DIFFERENT latent dim so outputs distinguish it
+    model4 = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=4)
+    trainer = Trainer(model4, max_epochs=1, early_stopping_patience=None,
+                      check_finite=False)
+    res4 = trainer.fit(dm)
+    inf4 = Inferencer(model4, res4.best_params, batch_size=64,
+                      max_batches_per_dispatch=4)
+    server = InferenceServer({"flagship": inf, "wide": inf4}, port=0).start()
+    try:
+        with urllib.request.urlopen(_url(server, "/v1/models"), timeout=10) as r:
+            listing = json.loads(r.read())
+        assert listing["default"] == "flagship"
+        assert set(listing["models"]) == {"flagship", "wide"}
+
+        x = dm.x_train[:6]
+        # default route -> first model (latent 2)
+        out_default = _post_json(server, "embed", x)
+        assert np.asarray(out_default[0]).shape == (6, 2)
+        # named routes
+        out_flag = _post_json_path(server, "/v1/models/flagship/embed", x)
+        np.testing.assert_allclose(
+            np.asarray(out_flag[0]), np.asarray(out_default[0]), atol=1e-6
+        )
+        out_wide = _post_json_path(server, "/v1/models/wide/embed", x)
+        assert np.asarray(out_wide[0]).shape == (6, 4)
+        np.testing.assert_allclose(
+            np.asarray(out_wide[0]), inf4.embed(x), atol=1e-5
+        )
+
+        # unknown model -> 404 with the registry listed
+        req = urllib.request.Request(
+            _url(server, "/v1/models/nope/embed"),
+            data=json.dumps({"data": np.asarray(x).tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 404
+
+        # metrics: named-model traffic labeled "model/method"
+        snap = json.loads(
+            urllib.request.urlopen(_url(server, "/v1/metrics"), timeout=10).read()
+        )
+        assert snap["endpoints"]["wide/embed"]["requests"] == 1
+        assert snap["endpoints"]["flagship/embed"]["requests"] == 1
+        assert snap["endpoints"]["embed"]["requests"] == 1  # default route
+    finally:
+        server.shutdown()
+
+
+def _post_json_path(server, path, x):
+    req = urllib.request.Request(
+        _url(server, path),
+        data=json.dumps({"data": np.asarray(x).tolist()}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())["outputs"]
+
+
+def test_registry_coalesces_across_models(served):
+    """Concurrent requests to DIFFERENT models still group correctly:
+    every caller gets its own model's output."""
+    dm, inf, _ = served
+    model4 = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=4)
+    res4 = Trainer(model4, max_epochs=1, early_stopping_patience=None,
+                   check_finite=False).fit(dm)
+    inf4 = Inferencer(model4, res4.best_params, batch_size=64,
+                      max_batches_per_dispatch=4)
+    server = InferenceServer(
+        {"flagship": inf, "wide": inf4}, port=0, max_wait_ms=30.0
+    ).start()
+    try:
+        x = dm.x_train[:5]
+        results = {}
+
+        def hit(name, dim):
+            out = _post_json_path(server, f"/v1/models/{name}/embed", x)
+            results[name] = np.asarray(out[0])
+
+        threads = [
+            threading.Thread(target=hit, args=("flagship", 2)),
+            threading.Thread(target=hit, args=("wide", 4)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert results["flagship"].shape == (5, 2)
+        assert results["wide"].shape == (5, 4)
+        np.testing.assert_allclose(results["wide"], inf4.embed(x), atol=1e-5)
+    finally:
+        server.shutdown()
