@@ -1,4 +1,10 @@
 from hyperbolic_vae_tpu.manifolds.euclidean import Euclidean
+from hyperbolic_vae_tpu.manifolds.stats import (
+    class_means,
+    frechet_mean,
+    frechet_variance,
+    geodesic,
+)
 from hyperbolic_vae_tpu.manifolds.poincare import (
     MIN_NORM,
     PoincareBall,
@@ -20,4 +26,8 @@ __all__ = [
     "log_sinh_ratio",
     "logdetexp",
     "normdist2plane",
+    "frechet_mean",
+    "frechet_variance",
+    "class_means",
+    "geodesic",
 ]

@@ -74,12 +74,18 @@ class GenerateCallback:
 
 
 class LatentScatterCallback:
-    """Scatter of val-set posterior means, range +-c^-0.5 on the ball."""
+    """Scatter of val-set posterior means, range +-c^-0.5 on the ball.
 
-    def __init__(self, every_n_epochs: int = 10, range_xy: Optional[float] = None, max_points: int = 2000):
+    ``annotate_means=True`` marks each class's Fréchet (Karcher) mean —
+    the geometrically correct per-cluster centroid on the ball
+    (manifolds/stats.py) — as a labeled X."""
+
+    def __init__(self, every_n_epochs: int = 10, range_xy: Optional[float] = None,
+                 max_points: int = 2000, annotate_means: bool = True):
         self.every_n_epochs = every_n_epochs
         self.range_xy = range_xy
         self.max_points = max_points
+        self.annotate_means = annotate_means
         self._dm = None
 
     def on_fit_start(self, trainer, dm):
@@ -109,6 +115,15 @@ class LatentScatterCallback:
         if ball is not None:
             circle = plt.Circle((0, 0), ball.radius, fill=False, ls="--", color="gray")
             ax.add_patch(circle)
+            if self.annotate_means and len(mu):
+                from hyperbolic_vae_tpu.manifolds import class_means
+
+                uniq = np.unique(labels)
+                lut = {int(lab): i for i, lab in enumerate(uniq)}
+                idx = np.asarray([lut[int(lab)] for lab in labels])
+                cm = np.asarray(class_means(ball, mu, idx, len(uniq)))
+                ax.scatter(cm[:, 0], cm[:, 1], marker="x", s=60, c="black",
+                           linewidths=1.5, zorder=5)
         ax.set_xlim(-r, r)
         ax.set_ylim(-r, r)
         ax.set_title("Latent space encoding of validation set")
