@@ -53,7 +53,13 @@ def data_module_for(model, args):
 if __name__ == "__main__":
     parser = base_parser(__doc__)
     parser.add_argument("--glob", type=str, default="runs/*/ckpt", help="checkpoint dir glob")
-    parser.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    parser.add_argument("--which", type=str, default="best", choices=["best", "last", "ema"])
+    parser.add_argument(
+        "--iwae", type=int, default=0, metavar="K",
+        help="also report the K-importance-weighted log p(x) bound "
+             "(test/iwae_K; the reference's unimplemented follow-up, "
+             "vae_hyperbolic_gyroplane_decoder.py:37-40)",
+    )
     args = parser.parse_args()
     setup(args, "eval_checkpoints")
     results = {}
@@ -66,6 +72,13 @@ if __name__ == "__main__":
         dm = data_module_for(model, args)
         trainer = Trainer(model, max_epochs=1)
         metrics = trainer.evaluate(dm, params, "test")
+        if args.iwae:
+            try:
+                metrics[f"test/iwae_{args.iwae}"] = trainer.evaluate_iwae(
+                    dm, params, k=args.iwae
+                )
+            except Exception as e:  # families without iwae stay evaluable
+                print(f"iwae unavailable for {ckpt_dir}: {e}")
         results[str(ckpt_dir)] = {
             "model": meta["model"]["__model_class__"],
             "epoch": meta.get("epoch"),

@@ -118,5 +118,27 @@ class EuclideanVAE(fnn.Module):
             "loss_kld": loss_kld,
         }
 
+    def iwae(self, x, k: int = 256):
+        """Per-sample K-importance-weighted log p(x) bound (B,):
+        diagonal-Gaussian posterior/prior, unit-scale Gaussian likelihood
+        (the sum-MSE training objective as a density; models/iwae.py)."""
+        from hyperbolic_vae_tpu.models.iwae import (
+            gaussian_loglik,
+            iwae_bound,
+            latent_log_weights,
+        )
+
+        xf = x.reshape(x.shape[0], -1)
+        mu, log_var = self.encode(x)
+
+        def loglik(zf):
+            xh = self.decode(zf).reshape(k, x.shape[0], -1)
+            return gaussian_loglik(xf, xh)
+
+        log_w = latent_log_weights(
+            self, None, mu, jnp.exp(0.5 * log_var), k, 1.0, loglik
+        )
+        return iwae_bound(log_w)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

@@ -127,5 +127,26 @@ class GyroplaneVAE(fnn.Module):
             "kl_loss": jnp.mean(kl),
         }
 
+    def iwae(self, x, k: int = 1000):
+        """Per-sample K-importance-weighted log p(x) bound (B,) under the
+        training likelihood (RelaxedBernoulli T=1 on probs) — the
+        reference's written-but-never-implemented follow-up
+        (vae_hyperbolic_gyroplane_decoder.py:37-40). models/iwae.py."""
+        from hyperbolic_vae_tpu.models.iwae import iwae_bound, latent_log_weights
+
+        xf = x.reshape(x.shape[0], -1)
+        mu, scale = self.encode(x)
+
+        def loglik(zf):
+            xh = self.decode(zf).reshape(k, x.shape[0], -1)
+            return jnp.sum(
+                relaxed_bernoulli_log_prob(xf[None], 1.0, probs=xh), axis=-1
+            )
+
+        log_w = latent_log_weights(
+            self, self.ball, mu, scale, k, self.prior_scale, loglik
+        )
+        return iwae_bound(log_w)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

@@ -155,5 +155,30 @@ class HyperbolicImageVAE(fnn.Module):
             "mse": jnp.sum((x_hat - x) ** 2),  # test-time extra metric (ref :261-268)
         }
 
+    def iwae(self, x, k: int = 256):
+        """Per-sample K-importance-weighted log p(x) bound (B,): wrapped
+        posterior/prior on the ball; likelihood = unit Gaussian (mse mode,
+        on the sigmoid output it trains against) or RelaxedBernoulli
+        T=0.1 logits (bernoulli mode), summed over pixels. models/iwae.py."""
+        from hyperbolic_vae_tpu.models.iwae import (
+            gaussian_loglik,
+            iwae_bound,
+            latent_log_weights,
+        )
+
+        xf = x.reshape(x.shape[0], -1)
+        mu, scale = self.encode(x)
+
+        def loglik(zf):
+            xh = self.decode(zf).reshape(k, x.shape[0], -1)
+            if self.loss_recon == "mse":
+                return gaussian_loglik(xf, xh)
+            return jnp.sum(
+                relaxed_bernoulli_log_prob(xf[None], 0.1, logits=xh), axis=-1
+            )
+
+        log_w = latent_log_weights(self, self.ball, mu, scale, k, 1.0, loglik)
+        return iwae_bound(log_w)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

@@ -127,5 +127,32 @@ class RNASeqVAE(fnn.Module):
             "loss_kl": jnp.mean(kl),
         }
 
+    def iwae(self, x, k: int = 256):
+        """Per-sample K-importance-weighted log p(x) bound (B,): wrapped
+        posterior/prior; likelihood = unit Gaussian on the sigmoid output
+        (mse mode) or NegativeBinomial (nb mode). models/iwae.py."""
+        from hyperbolic_vae_tpu.models.iwae import (
+            gaussian_loglik,
+            iwae_bound,
+            latent_log_weights,
+        )
+
+        mu, scale = self.encode(x)
+
+        def loglik(zf):
+            xh = self.decode(zf).reshape(k, x.shape[0], -1)
+            if self.recon == "nb":
+                probs = jnp.clip(xh, 1e-6, 1.0 - 1e-6)
+                logits = jnp.log(probs) - jnp.log1p(-probs)
+                theta = jnp.exp(self.nb_log_theta)
+                return jnp.sum(
+                    negative_binomial_log_prob(x[None], theta, logits=logits),
+                    axis=-1,
+                )
+            return gaussian_loglik(x, xh)
+
+        log_w = latent_log_weights(self, self.ball, mu, scale, k, 1.0, loglik)
+        return iwae_bound(log_w)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

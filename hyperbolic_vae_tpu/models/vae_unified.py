@@ -202,6 +202,44 @@ class UnifiedVAE(fnn.Module):
             return fnn.sigmoid(output)
         return output
 
+    def iwae(self, x, k: int = 256):
+        """Per-sample K-importance-weighted log p(x) bound (B,), over
+        either latent geometry; likelihood per loss_recon_method (MSE =
+        unit Gaussian, bce variants = Bernoulli, relaxed bernoulli =
+        RelaxedBernoulli T=0.3), summed over features. models/iwae.py."""
+        from hyperbolic_vae_tpu.models.iwae import (
+            gaussian_loglik,
+            iwae_bound,
+            latent_log_weights,
+        )
+
+        xf = x.reshape(x.shape[0], -1)
+        mu, scale = self.encode(x)
+        m = self.loss_recon_method
+
+        def loglik(zf):
+            xh = self.decode(zf).reshape(k, x.shape[0], -1)
+            if m == "MSE":
+                return gaussian_loglik(xf, xh)
+            if m in ("binary_cross_entropy", "binary_cross_entropy_with_logits"):
+                probs = xh if m == "binary_cross_entropy" else fnn.sigmoid(xh)
+                probs = jnp.clip(probs, 1e-6, 1.0 - 1e-6)
+                return jnp.sum(
+                    xf[None] * jnp.log(probs) + (1.0 - xf[None]) * jnp.log1p(-probs),
+                    axis=-1,
+                )
+            if m == "relaxed bernoulli":
+                kw = {"logits": xh} if self.last_activation == "none" else {"probs": xh}
+                return jnp.sum(
+                    relaxed_bernoulli_log_prob(xf[None], 0.3, **kw), axis=-1
+                )
+            raise ValueError(m)
+
+        log_w = latent_log_weights(
+            self, self.ball, mu, scale, k, self.prior_scale, loglik
+        )
+        return iwae_bound(log_w)
+
     def reconstruct(self, x):
         return self.transform_decoder_output(self(x)["x_hat"])
 

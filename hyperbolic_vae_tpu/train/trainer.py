@@ -1076,6 +1076,57 @@ class Trainer:
         ms = jax.device_get(eval_epoch(params, x, jax.random.PRNGKey(self.seed + 1)))
         return {f"{split}/{k}": float(v) for k, v in ms.items()}
 
+    def evaluate_iwae(
+        self,
+        dm: ArrayDataModule,
+        params,
+        k: int = 5000,
+        split: str = "test",
+        batch_chunk: int = 256,
+        k_chunk: int = 500,
+    ) -> float:
+        """Mean K-importance-weighted log p(x) bound over a split — the
+        reference's written follow-up ("report IWAE loss for each model
+        on test set", vae_hyperbolic_gyroplane_decoder.py:37-40), for any
+        model exposing ``iwae(x, k)`` (all VAE families; models/iwae.py).
+
+        Memory-bounded two-axis chunking: the split streams in
+        ``batch_chunk`` rows, K in ``k_chunk`` independent sample chunks
+        recombined EXACTLY via logsumexp (combine_chunked_bounds) —
+        K=5000 at any data width without a (K, B, D) materialization."""
+        from hyperbolic_vae_tpu.models.iwae import combine_chunked_bounds
+
+        if self.hp_model_fn is not None:
+            raise ValueError(
+                "evaluate_iwae needs a concrete model; rebuild one from "
+                "the lane's hparams with a plain Trainer"
+            )
+        x_host = np.asarray(getattr(dm, f"x_{split}"), np.float32)
+        ks = [k_chunk] * (k // k_chunk) + ([k % k_chunk] if k % k_chunk else [])
+        fns = {}  # one compiled program per distinct k chunk size
+
+        def fn_for(kc):
+            if kc not in fns:
+                fns[kc] = jax.jit(
+                    lambda p, xb, key: self.model.apply(
+                        {"params": p}, xb, kc, method="iwae",
+                        rngs={"sample": key},
+                    )
+                )
+            return fns[kc]
+
+        key = jax.random.PRNGKey(self.seed + 2)
+        total, n = 0.0, int(x_host.shape[0])
+        for start in range(0, n, batch_chunk):
+            xb = jnp.asarray(x_host[start : start + batch_chunk])
+            bounds = []
+            for kc in ks:
+                key, sub = jax.random.split(key)
+                bounds.append(fn_for(kc)(params, xb, sub))
+            combined = combine_chunked_bounds(bounds, ks)
+            total += float(jnp.sum(combined))
+        return total / n
+
     def encode_split(self, dm: ArrayDataModule, params, split: str = "val",
                      batch_size: Optional[int] = None):
         """Posterior means for a split (for latent-space visualization).
