@@ -12,7 +12,12 @@ from common import base_parser, setup, trainer_extra
 
 from hyperbolic_vae_tpu.data import mnist
 from hyperbolic_vae_tpu.models import GyroplaneVAE
-from hyperbolic_vae_tpu.train import GenerateCallback, LatentScatterCallback, Trainer
+from hyperbolic_vae_tpu.train import (
+    GenerateCallback,
+    LatentInterpolationCallback,
+    LatentScatterCallback,
+    Trainer,
+)
 
 
 def train_seed_sweep(args, run_dir, latent_dim: int):
@@ -86,6 +91,7 @@ def train_latent_dim(args, run_dir, latent_dim: int):
         callbacks=[
             GenerateCallback(every_n_epochs=10),
             LatentScatterCallback(every_n_epochs=10),  # range = ball radius
+            LatentInterpolationCallback(every_n_epochs=10),  # class-to-class geodesics
         ],
         use_mesh=args.use_mesh,
         **trainer_extra(args),

@@ -140,5 +140,12 @@ class EuclideanVAE(fnn.Module):
         )
         return iwae_bound(log_w)
 
+    def generate(self, n: int = 64):
+        """Decode n prior draws z ~ N(0, I) (models/sampling.py)."""
+        from hyperbolic_vae_tpu.models.sampling import prior_sample
+
+        z = prior_sample(self, None, n, self.latent_dim)
+        return self.decode(z)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

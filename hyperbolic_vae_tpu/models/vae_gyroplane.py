@@ -148,5 +148,14 @@ class GyroplaneVAE(fnn.Module):
         )
         return iwae_bound(log_w)
 
+    def generate(self, n: int = 64):
+        """Decode n prior draws z ~ WrappedNormal(0, prior_scale) — pixel
+        probs in (0, 1) (models/sampling.py; the reference has no
+        unconditional generation)."""
+        from hyperbolic_vae_tpu.models.sampling import prior_sample
+
+        z = prior_sample(self, self.ball, n, self.latent_dim, self.prior_scale)
+        return self.decode(z)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

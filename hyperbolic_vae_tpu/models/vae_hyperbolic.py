@@ -180,5 +180,13 @@ class HyperbolicImageVAE(fnn.Module):
         log_w = latent_log_weights(self, self.ball, mu, scale, k, 1.0, loglik)
         return iwae_bound(log_w)
 
+    def generate(self, n: int = 64):
+        """Decode n prior draws z ~ WrappedNormal(0, 1) on the ball
+        (models/sampling.py)."""
+        from hyperbolic_vae_tpu.models.sampling import prior_sample
+
+        z = prior_sample(self, self.ball, n, self.latent_dim)
+        return self.decode(z)
+
     def reconstruct(self, x):
         return self(x)["x_hat"]

@@ -240,6 +240,15 @@ class UnifiedVAE(fnn.Module):
         )
         return iwae_bound(log_w)
 
+    def generate(self, n: int = 64):
+        """Decode n prior draws (WrappedNormal on the ball or N(0, I)
+        per latent_curvature), through transform_decoder_output so
+        logit-space decoders return probabilities (models/sampling.py)."""
+        from hyperbolic_vae_tpu.models.sampling import prior_sample
+
+        z = prior_sample(self, self.ball, n, self.latent_dim, self.prior_scale)
+        return self.transform_decoder_output(self.decode(z))
+
     def reconstruct(self, x):
         return self.transform_decoder_output(self(x)["x_hat"])
 

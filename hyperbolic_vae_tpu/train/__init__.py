@@ -1,6 +1,7 @@
 from hyperbolic_vae_tpu.train.callbacks import (
     GenerateCallback,
     LatentGridCallback,
+    LatentInterpolationCallback,
     LatentScatterCallback,
 )
 from hyperbolic_vae_tpu.train.checkpoint import CheckpointManager, restore_model
@@ -18,4 +19,5 @@ __all__ = [
     "GenerateCallback",
     "LatentScatterCallback",
     "LatentGridCallback",
+    "LatentInterpolationCallback",
 ]

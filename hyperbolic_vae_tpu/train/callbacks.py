@@ -164,3 +164,70 @@ class LatentGridCallback:
         imgs = (imgs - imgs.min()) / max(imgs.max() - imgs.min(), 1e-9)
         grid = _to_grid(imgs, nrow=self.steps)
         trainer.metric_logger.log_image(epoch, "latent_grid", grid)
+
+
+class LatentInterpolationCallback:
+    """Decode along latent-space geodesics between encoded pairs.
+
+    Beyond the reference's figure set: each row interpolates between two
+    validation examples — constant-speed gyro-geodesics on the Poincaré
+    ball (manifolds/stats.py geodesic; the geometrically correct path,
+    NOT a chord through the disk) or straight lines for Euclidean
+    latents — and decodes every waypoint. With labels present the pairs
+    walk consecutive distinct classes, so the mosaic shows how the
+    decoder morphs one class into the next through latent space. Works
+    at any latent dimension (no 2-D restriction)."""
+
+    def __init__(self, every_n_epochs: int = 20, n_pairs: int = 6, steps: int = 12):
+        self.every_n_epochs = every_n_epochs
+        self.n_pairs = n_pairs
+        self.steps = steps
+        self._x = None  # (n_pairs, 2, ...) endpoint inputs
+
+    def on_fit_start(self, trainer, dm):
+        x, y = np.asarray(dm.x_val), np.asarray(dm.y_val)
+        if len(x) < 2:
+            return
+        if (y >= 0).any():
+            classes = np.unique(y[y >= 0])[: self.n_pairs + 1]
+            firsts = [x[y == c][0] for c in classes]
+            if len(firsts) >= 2:
+                ends = [(firsts[i], firsts[i + 1]) for i in range(len(firsts) - 1)]
+            else:  # single labeled class — fall back to row pairs
+                ends = list(zip(x[0::2], x[1::2]))[: self.n_pairs]
+        else:
+            ends = list(zip(x[0::2], x[1::2]))[: self.n_pairs]
+        self._x = np.stack([np.stack(e) for e in ends])
+
+    def on_epoch_end(self, trainer, epoch, params, metrics):
+        if (epoch + 1) % self.every_n_epochs or self._x is None:
+            return
+        model = trainer.model
+        p, t = len(self._x), np.linspace(0.0, 1.0, self.steps, dtype=np.float32)
+        flat_ends = jnp.asarray(self._x.reshape((2 * p,) + self._x.shape[2:]))
+        mu = model.apply({"params": params}, flat_ends, method="encode")[0]
+        mu = mu.reshape(p, 2, -1)
+        ball = getattr(model, "ball", None)
+        if ball is not None:
+            from hyperbolic_vae_tpu.manifolds import geodesic
+
+            z = jax.vmap(lambda a, b: geodesic(ball, a, b, jnp.asarray(t)))(
+                mu[:, 0], mu[:, 1]
+            )  # (P, T, D)
+        else:
+            tt = jnp.asarray(t)[None, :, None]
+            z = mu[:, 0][:, None] * (1.0 - tt) + mu[:, 1][:, None] * tt
+        imgs = model.apply(
+            {"params": params}, z.reshape(p * self.steps, -1), method="decode"
+        )
+        if hasattr(model, "transform_decoder_output"):
+            imgs = model.transform_decoder_output(imgs)
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 2:
+            side = int(np.sqrt(imgs.shape[1]))
+            if side * side != imgs.shape[1]:
+                return
+            imgs = imgs.reshape(-1, side, side, 1)
+        imgs = (imgs - imgs.min()) / max(imgs.max() - imgs.min(), 1e-9)
+        grid = _to_grid(imgs, nrow=self.steps)
+        trainer.metric_logger.log_image(epoch, "latent_interpolation", grid)

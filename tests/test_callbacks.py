@@ -9,6 +9,7 @@ from hyperbolic_vae_tpu.models import GyroplaneVAE
 from hyperbolic_vae_tpu.train import (
     GenerateCallback,
     LatentGridCallback,
+    LatentInterpolationCallback,
     LatentScatterCallback,
     Trainer,
 )
@@ -30,6 +31,7 @@ def test_callbacks_write_pngs(tmp_path):
             GenerateCallback(every_n_epochs=2),
             LatentScatterCallback(every_n_epochs=2),
             LatentGridCallback(every_n_epochs=2),
+            LatentInterpolationCallback(every_n_epochs=2, n_pairs=4, steps=8),
         ],
     )
     trainer.fit(dm)
@@ -38,5 +40,30 @@ def test_callbacks_write_pngs(tmp_path):
     assert "reconstructions" in names, pngs
     assert "posterior_means" in names, pngs
     assert "latent_grid" in names, pngs
+    assert "latent_interpolation" in names, pngs
     # metrics JSONL also written
     assert (Path(tmp_path) / "metrics.jsonl").exists()
+
+
+def test_interpolation_geodesic_endpoints(tmp_path):
+    """The interpolation path's endpoints must decode the pair's own
+    posterior means: t=0 / t=1 frames equal direct decode(encode(x))."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperbolic_vae_tpu.manifolds import geodesic
+
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    x = jnp.asarray(dm.x_val[:2])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )["params"]
+    mu = model.apply({"params": params}, x, method="encode")[0]
+    t = jnp.linspace(0.0, 1.0, 7)
+    path = geodesic(model.ball, mu[0], mu[1], t)
+    np.testing.assert_allclose(np.asarray(path[0]), np.asarray(mu[0]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(path[-1]), np.asarray(mu[1]), atol=2e-6)
+    # constant speed: successive hyperbolic distances are equal
+    d = np.asarray(model.ball.dist(path[:-1], path[1:]))
+    np.testing.assert_allclose(d, d.mean(), rtol=1e-3)
