@@ -45,6 +45,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         " weights — see BASELINE.md's RNA-seq roofline",
     )
     p.add_argument(
+        "--lr-schedule", type=str, default=None,
+        choices=[None, "cosine", "exponential"],
+        help="deterministic epoch-indexed LR schedule (replaces plateau"
+        " control; optim/schedules.py). cosine: warmup + cosine decay to"
+        " lr/100 at --epochs; exponential: gamma 0.97/epoch",
+    )
+    p.add_argument(
+        "--warmup-epochs", type=int, default=0,
+        help="linear LR warmup epochs for --lr-schedule",
+    )
+    p.add_argument(
         "--ema-decay", type=float, default=None,
         help="track a parameter EMA (Polyak averaging) in the optimizer"
         " state; manifold leaves average in the tangent space at the"
@@ -70,8 +81,23 @@ def setup(args, name: str) -> Path:
 def trainer_extra(args) -> dict:
     """Trainer kwargs driven by common CLI flags (experiments splat this
     into their Trainer(...) call)."""
-    return {
+    extra = {
         "epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1),
         "moment_dtype": getattr(args, "moment_dtype", None),
         "ema_decay": getattr(args, "ema_decay", None),
     }
+    name = getattr(args, "lr_schedule", None)
+    if name == "cosine":
+        from hyperbolic_vae_tpu.optim.schedules import cosine_schedule
+
+        extra["lr_schedule"] = cosine_schedule(
+            args.lr, args.epochs, warmup_epochs=args.warmup_epochs,
+            min_lr=args.lr / 100.0,
+        )
+    elif name == "exponential":
+        from hyperbolic_vae_tpu.optim.schedules import exponential_schedule
+
+        extra["lr_schedule"] = exponential_schedule(
+            args.lr, gamma=0.97, warmup_epochs=args.warmup_epochs,
+        )
+    return extra

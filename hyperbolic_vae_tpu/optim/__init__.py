@@ -4,7 +4,12 @@ from hyperbolic_vae_tpu.optim.riemannian_adam import (
     manifold_label_tree,
     riemannian_adam,
 )
-from hyperbolic_vae_tpu.optim.schedules import EarlyStopping, ReduceLROnPlateau
+from hyperbolic_vae_tpu.optim.schedules import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    cosine_schedule,
+    exponential_schedule,
+)
 
 __all__ = [
     "riemannian_adam",
@@ -13,4 +18,6 @@ __all__ = [
     "manifold_label_tree",
     "ReduceLROnPlateau",
     "EarlyStopping",
+    "cosine_schedule",
+    "exponential_schedule",
 ]

@@ -1,4 +1,4 @@
-"""Training-control utilities: ReduceLROnPlateau and EarlyStopping.
+"""Training control: ReduceLROnPlateau, EarlyStopping, LR schedules.
 
 Re-implements the Lightning/torch semantics the reference relies on:
   * torch ReduceLROnPlateau(mode="min", factor=0.2, patience=20,
@@ -11,6 +11,12 @@ These are host-side (per-epoch, not per-step) controllers: plain Python
 dataclasses mutated between jitted epochs, with their scalar output (the
 lr) fed into the jitted step as an argument — so no recompilation on lr
 change.
+
+``cosine_schedule``/``exponential_schedule`` are beyond-reference
+DETERMINISTIC epoch-indexed schedules (the reference only ships
+plateau). They return jnp-traceable callables in pure f32, so the same
+function evaluates on the host (K=1 loop) and inside the chunked
+in-graph program (Trainer(lr_schedule=...)).
 """
 
 from __future__ import annotations
@@ -89,3 +95,41 @@ class EarlyStopping:
             if self.wait >= self.patience:
                 self.stopped = True
         return self.stopped
+
+
+def cosine_schedule(base_lr: float, total_epochs: int, warmup_epochs: int = 0,
+                    min_lr: float = 0.0):
+    """Linear warmup (epochs 0..warmup-1 ramp to base_lr) then cosine
+    decay to min_lr at total_epochs; constant min_lr after. Returns an
+    f32 jnp-traceable ``fn(epoch) -> lr`` for Trainer(lr_schedule=...)."""
+    import jax.numpy as jnp
+
+    base, lo = jnp.float32(base_lr), jnp.float32(min_lr)
+    w, total = jnp.float32(warmup_epochs), jnp.float32(total_epochs)
+
+    def fn(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        warm = base * (e + 1.0) / jnp.maximum(w, 1.0)
+        t = jnp.clip((e - w) / jnp.maximum(total - w, 1.0), 0.0, 1.0)
+        cos = lo + 0.5 * (base - lo) * (1.0 + jnp.cos(jnp.float32(math.pi) * t))
+        return jnp.where(e < w, warm, cos).astype(jnp.float32)
+
+    return fn
+
+
+def exponential_schedule(base_lr: float, gamma: float, min_lr: float = 0.0,
+                         warmup_epochs: int = 0):
+    """Linear warmup then base_lr * gamma^(epoch - warmup), floored at
+    min_lr. f32 jnp-traceable (see cosine_schedule)."""
+    import jax.numpy as jnp
+
+    base, lo = jnp.float32(base_lr), jnp.float32(min_lr)
+    w, g = jnp.float32(warmup_epochs), jnp.float32(gamma)
+
+    def fn(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        warm = base * (e + 1.0) / jnp.maximum(w, 1.0)
+        dec = jnp.maximum(base * g ** (e - w), lo)
+        return jnp.where(e < w, warm, dec).astype(jnp.float32)
+
+    return fn

@@ -76,10 +76,12 @@ def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int,
     cache = getattr(trainer, "_ens_fn_cache", None)
     if cache is None:
         cache = trainer._ens_fn_cache = {}
-    key = (n_train, batch_size, n_val, k, n_seeds, hp_keys)
+    key = (n_train, batch_size, n_val, k, n_seeds, hp_keys, trainer.lr_schedule)
     if key not in cache:
         trainer._chunk_fn(n_train, batch_size, n_val, k)  # fills the body cache
-        body = trainer._chunk_body_cache[(n_train, batch_size, n_val, k)]
+        body = trainer._chunk_body_cache[
+            (n_train, batch_size, n_val, k, trainer.lr_schedule)
+        ]
         hp_axes = None if hp_keys is None else {name: 0 for name in hp_keys}
         cache[key] = jax.jit(
             jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0, hp_axes)),

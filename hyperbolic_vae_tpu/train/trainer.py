@@ -91,6 +91,7 @@ class Trainer:
         moment_dtype: Optional[str] = None,  # Adam moment STORAGE dtype (e.g. 'bfloat16'); None = follow params
         hp_model_fn=None,  # optional fn(hp dict of scalars) -> flax model: hyperparameter-LANE sweeps (fit_lane_sweep)
         ema_decay: Optional[float] = None,  # parameter EMA (Polyak averaging) tracked in the optimizer state
+        lr_schedule=None,  # optional jnp-traceable fn(epoch) -> lr (optim/schedules.py cosine_schedule/exponential_schedule); replaces plateau control
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -167,6 +168,12 @@ class Trainer:
         self._ema_decay = ema_decay
         self._optimizer = self._make_optimizer(ball)
 
+        # deterministic epoch-indexed LR (beyond-reference; the reference
+        # only ships plateau). The SAME f32 callable evaluates host-side
+        # (K=1 loop) and inside the chunked in-graph program, so K=1 and
+        # K>1 stay equivalent. When set, ReduceLROnPlateau is bypassed
+        # (early stopping still runs); lane lr sweeps don't compose.
+        self.lr_schedule = lr_schedule
         self._plateau_cfg = dict(
             lr=self.lr,
             factor=plateau_factor,
@@ -407,7 +414,9 @@ class Trainer:
         ``ctrl`` is a dict of scalars: the controller + best-tracking
         state threaded through chunks (see _fit_chunked for the fields).
         """
-        cache_key = (n_train, batch_size, n_val, k)
+        # the schedule's values are baked into the traced program, so a
+        # different schedule callable must compile a different program
+        cache_key = (n_train, batch_size, n_val, k, self.lr_schedule)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
         self._epoch_fns(n_train, batch_size, n_val)  # fills _body_fns_cache
@@ -424,6 +433,7 @@ class Trainer:
         es_enabled = self._early_patience is not None
         es_patience = self._early_patience or 0
         es_min_delta = self.early_stopping.min_delta if es_enabled else 0.0
+        lr_schedule = self.lr_schedule
 
         def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key, hp=None):
             # abstract-eval (no FLOPs) the metric pytree structures so the
@@ -440,7 +450,12 @@ class Trainer:
                 params, opt_state, best_params, ctrl, key = carry
                 key, ek, vk = jax.random.split(key, 3)  # same order as fit()
                 active = ~ctrl["stopped"]
-                lr_used = ctrl["pl_lr"]
+                # deterministic schedule (epoch-indexed, in-graph) takes
+                # precedence over the plateau controller's lr
+                if lr_schedule is not None:
+                    lr_used = lr_schedule(ctrl["epoch"])
+                else:
+                    lr_used = ctrl["pl_lr"]
 
                 def do_epoch(args):
                     params, opt_state, ek, vk, lr = args
@@ -790,8 +805,13 @@ class Trainer:
             if self.profile_dir and epoch == 1:
                 jax.profiler.start_trace(self.profile_dir)
             key, ek, vk = jax.random.split(key, 3)
+            if self.lr_schedule is not None:
+                # same f32 callable the chunked program traces in-graph
+                lr_epoch = float(jax.device_get(self.lr_schedule(epoch)))
+            else:
+                lr_epoch = self.plateau.lr
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                self.plateau.lr, jnp.float32
+                lr_epoch, jnp.float32
             )
             params, opt_state, train_ms = train_epoch(params, opt_state, x_train, ek)
             val_ms = eval_epoch(params, x_val, vk)
@@ -805,7 +825,7 @@ class Trainer:
             val_ms = {f"val/{k}": float(v) for k, v in val_ms.items()}
             if self.profile_dir and epoch == 1:
                 jax.profiler.stop_trace()
-            metrics = {**train_ms, **val_ms, "lr": self.plateau.lr, "epoch": epoch}
+            metrics = {**train_ms, **val_ms, "lr": lr_epoch, "epoch": epoch}
             history.append(metrics)
             epochs_run = epoch + 1
             if t_start is None:
@@ -830,7 +850,8 @@ class Trainer:
                     best_params = jax.tree.map(jnp.copy, params)
                     if self._ckpt_mgr:
                         self._ckpt_mgr.save_best(epoch, params, metrics)
-                self.plateau.step(monitored)
+                if self.lr_schedule is None:
+                    self.plateau.step(monitored)
                 if self.early_stopping and self.early_stopping.step(monitored):
                     logger.info("early stopping at epoch %d", epoch)
                     for cb in self.callbacks:
@@ -1027,6 +1048,10 @@ class Trainer:
         curvature/beta/lr/seed) trains its own model inside ONE vmapped
         program. Requires ``Trainer(hp_model_fn=...)``; see
         train/ensemble.py:fit_lane_sweep."""
+        if self.lr_schedule is not None and any("lr" in lane for lane in lanes):
+            # a single baked schedule would silently override every
+            # lane's lr — the sweep's whole point
+            raise ValueError("lr_schedule does not compose with per-lane lr sweeps")
         from hyperbolic_vae_tpu.train.ensemble import fit_lane_sweep
 
         return fit_lane_sweep(self, dm, lanes, epochs_per_dispatch, seed_mesh=seed_mesh)
