@@ -63,7 +63,9 @@ class Inferencer:
     or any other zero-RNG method the model exposes via ``model.apply``.
     Stochastic paths (rsample) are deliberately excluded: serving is
     deterministic (the posterior MEAN is the embedding the reference's
-    figures use, vae_euclidean.py:237-303).
+    figures use, vae_euclidean.py:237-303). The one sampling endpoint,
+    ``generate(n, seed)``, keeps that property by deriving every batch's
+    key from the CLIENT-supplied seed — replayable by construction.
     """
 
     def __init__(self, model, params, batch_size: int = 256, mesh=None,
@@ -204,6 +206,63 @@ class Inferencer:
 
     # ------------------------------------------------------------------ #
 
+    def _gen_fn(self):
+        """Compiled (params, key) -> one generated batch. The key is a
+        legacy uint32[2] PRNG key ARRAY (not an opaque typed key), so the
+        same program exports to a StableHLO bundle unchanged."""
+        if "generate" not in self._compiled:
+            model, b = self.model, self.batch_size
+
+            def apply(params, key):
+                return model.apply(
+                    {"params": params}, b, method="generate",
+                    rngs={"sample": key},
+                )
+
+            self._compiled["generate"] = jax.jit(apply)
+        return self._compiled["generate"]
+
+    def _gen_fn_k(self, k: int):
+        assert k > 1
+        key = ("generate", k)
+        if key not in self._compiled:
+            apply = self._gen_fn()
+
+            def apply_k(params, keys):
+                return jax.lax.map(lambda kk: apply(params, kk), keys)
+
+            self._compiled[key] = jax.jit(apply_k)
+        return self._compiled[key]
+
+    def generate(self, n: int, seed: int = 0) -> np.ndarray:
+        """n decoded latent-prior samples (models/sampling.py), served
+        with the serving-grade determinism the other endpoints have: the
+        same (n, seed) always returns the same rows, and batch i draws
+        from fold_in(PRNGKey(seed), i) — so growing n only APPENDS rows,
+        it never reshuffles the ones already served. Bucketed identically
+        to the x-endpoints (bounded compile set)."""
+        b = self.batch_size
+        base = jax.random.PRNGKey(int(seed))
+        n_batches = max(-(-int(n) // b), 1)
+        cap = self.max_batches_per_dispatch
+        pieces = []
+        for start in range(0, n_batches, cap):
+            kb = min(cap, n_batches - start)
+            bucket = self._bucket(kb)
+            keys = jnp.stack(
+                [jax.random.fold_in(base, i) for i in range(start, start + bucket)]
+            )
+            if bucket == 1:
+                out = self._gen_fn()(self.params, keys[0])
+                pieces.append(np.asarray(jax.device_get(out)))
+            else:
+                out = self._gen_fn_k(bucket)(self.params, keys)
+                a = np.asarray(jax.device_get(out))
+                pieces.append(a.reshape((bucket * b,) + a.shape[2:]))
+        return np.concatenate(pieces, axis=0)[: int(n)]
+
+    # ------------------------------------------------------------------ #
+
     def encode(self, x: np.ndarray):
         """Posterior parameters; first element (or the array itself) is the
         on-manifold mean — the latent embedding."""
@@ -234,6 +293,10 @@ class Inferencer:
         request on any endpoint triggers a compile later."""
         shape = tuple(data_shape) if data_shape else model_data_shape(self.model)
         for method in methods:
+            if method == "generate":
+                for k in self._buckets:
+                    self.generate(k * self.batch_size)
+                continue
             feat = ((int(self.model.latent_dim),) if method == "decode"
                     else shape)
             for k in self._buckets:
@@ -275,9 +338,17 @@ class Inferencer:
         feat = {m: ((latent_dim,) if m == "decode" else data_shape) for m in methods}
         for method in methods:
             for k in self._buckets:
-                fn = self._fn(method) if k == 1 else self._fn_k(method, k)
-                shape = ((self.batch_size,) if k == 1 else (k, self.batch_size)) + feat[method]
-                xs = jax.ShapeDtypeStruct(shape, jnp.float32)
+                if method == "generate":
+                    # key-array-in programs: uint32[2] per batch (legacy
+                    # PRNG keys are plain arrays, so they export cleanly)
+                    fn = self._gen_fn() if k == 1 else self._gen_fn_k(k)
+                    xs = jax.ShapeDtypeStruct(
+                        (2,) if k == 1 else (k, 2), jnp.uint32
+                    )
+                else:
+                    fn = self._fn(method) if k == 1 else self._fn_k(method, k)
+                    shape = ((self.batch_size,) if k == 1 else (k, self.batch_size)) + feat[method]
+                    xs = jax.ShapeDtypeStruct(shape, jnp.float32)
                 exp = jexport.export(fn, platforms=list(platforms))(pspec, xs)
                 (out / f"{method}_k{k}.stablehlo").write_bytes(exp.serialize())
         flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
@@ -367,11 +438,21 @@ class ExportedInferencer(Inferencer):
             raise KeyError(f"bucket {key} was not exported in this bundle")
         return self._compiled[key]
 
+    def _gen_fn(self):
+        return self._fn("generate")
+
+    def _gen_fn_k(self, k: int):
+        return self._fn_k("generate", k)
+
     def warmup(self, data_shape: Optional[tuple] = None,
                methods: Optional[tuple] = None):
         shape = tuple(data_shape or self._manifest["data_shape"])
         lat = (self._manifest["latent_dim"],)
         for method in methods or self._manifest["methods"]:
+            if method == "generate":
+                for k in self._buckets:
+                    self.generate(k * self.batch_size)
+                continue
             for k in self._buckets:
                 feat = lat if method == "decode" else shape
                 x = np.zeros((k * self.batch_size,) + feat, np.float32)

@@ -36,6 +36,8 @@ Endpoints:
   POST /v1/embed             the on-manifold mean only (one array)
   POST /v1/decode            latents -> reconstruction
   POST /v1/reconstruct       inputs -> deterministic reconstruction
+  POST /v1/generate          ``{"n": N, "seed": S}`` -> N decoded
+                             latent-prior samples (seed-replayable)
 
 Request body: ``{"data": [[...], ...]}`` (application/json) or raw f32
 bytes + ``X-Shape: n,d0,d1,...`` (application/octet-stream). Responses
@@ -311,11 +313,15 @@ class InferenceServer:
     """
 
     def __init__(self, inferencer, host: str = "127.0.0.1", port: int = 8000,
-                 coalesce: bool = True, max_wait_ms: float = 0.0):
+                 coalesce: bool = True, max_wait_ms: float = 0.0,
+                 max_generate_rows: int = 65536):
         self.engines = (
             dict(inferencer) if isinstance(inferencer, dict)
             else {"default": inferencer}
         )
+        # bounds a single /v1/generate request (no input payload bounds
+        # it naturally, unlike the x-endpoints)
+        self.max_generate_rows = int(max_generate_rows)
         if not self.engines:
             raise ValueError("empty model registry")
         self.default_name = next(iter(self.engines))
@@ -387,6 +393,43 @@ class InferenceServer:
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 
+            def _do_generate(self, model):
+                """POST /v1/generate {"n": N, "seed": S}: N decoded
+                latent-prior samples. Not coalescable (no input rows to
+                concatenate), so it dispatches directly; jax dispatch is
+                thread-safe alongside the coalescing loop."""
+                try:
+                    n_len = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n_len) or b"{}")
+                    n = int(req.get("n", server.engines[
+                        model or server.default_name].batch_size))
+                    seed = int(req.get("seed", 0))
+                    if not 0 < n <= server.max_generate_rows:
+                        raise ValueError(
+                            f"n must be in [1, {server.max_generate_rows}]"
+                        )
+                except Exception as e:
+                    server.metrics.error("bad_request")
+                    self._reply_json(400, {"error": f"bad request: {e}"})
+                    return
+                t_start = time.perf_counter()
+                engine = server.engines[model or server.default_name]
+                try:
+                    if server.dispatcher is not None:
+                        out = engine.generate(n, seed)
+                    else:
+                        with server._device_lock:
+                            out = engine.generate(n, seed)
+                except Exception as e:
+                    server.metrics.error("inference_failed")
+                    self._reply_json(500, {"error": f"inference failed: {e}"})
+                    return
+                server.metrics.observe(
+                    "generate" if model is None else f"{model}/generate",
+                    n, time.perf_counter() - t_start,
+                )
+                self._reply_json(200, {"outputs": [out.tolist()]})
+
             def do_POST(self):  # noqa: N802
                 parts = self.path.strip("/").split("/")
                 # /v1/<method>  |  /v1/models/<model>/<method>
@@ -404,6 +447,9 @@ class InferenceServer:
                         return
                 else:
                     name = ""
+                if name == "generate":
+                    self._do_generate(model)
+                    return
                 if name not in _METHODS:
                     self._reply_json(404, {"error": f"no route {self.path}"})
                     return
@@ -463,7 +509,7 @@ class InferenceServer:
             "batch_size": inf.batch_size,
             "max_batches_per_dispatch": inf.max_batches_per_dispatch,
             "buckets": list(inf._buckets),
-            "methods": list(_METHODS),
+            "methods": list(_METHODS) + ["generate"],
             "data_shape": list(m["data_shape"]) if m
             else list(model_data_shape(inf.model)),
         }

@@ -107,3 +107,22 @@ print("SERVED", mu.shape)
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SERVED" in proc.stdout
+
+
+def test_generate_exports_and_matches_live(bundle):
+    """generate programs export (uint32 key-array inputs) and the bundle
+    replays the live endpoint bit-for-bit."""
+    inf, out, dm = bundle
+    out2 = Path(out).parent / "bundle_gen"
+    inf.export_programs(
+        out2, methods=("encode", "decode", "reconstruct", "generate")
+    )
+    exp = ExportedInferencer.load(out2)
+    for n in (1, 16, 40, 100):
+        np.testing.assert_array_equal(
+            exp.generate(n, seed=3), inf.generate(n, seed=3)
+        )
+    # a bundle exported WITHOUT generate refuses clearly
+    exp_plain = ExportedInferencer.load(out)
+    with pytest.raises(KeyError, match="not exported"):
+        exp_plain.generate(4)

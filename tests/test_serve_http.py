@@ -479,3 +479,25 @@ def test_registry_coalesces_across_models(served):
         np.testing.assert_allclose(results["wide"], inf4.embed(x), atol=1e-5)
     finally:
         server.shutdown()
+
+
+def test_generate_endpoint(served):
+    dm, inf, server = served
+    req = urllib.request.Request(
+        _url(server, "/v1/generate"),
+        data=json.dumps({"n": 3, "seed": 5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = np.asarray(json.loads(r.read())["outputs"][0], np.float32)
+    assert out.shape[0] == 3 and np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, inf.generate(3, seed=5), atol=1e-6)
+    # out-of-bounds n -> 400
+    bad = urllib.request.Request(
+        _url(server, "/v1/generate"),
+        data=json.dumps({"n": 0}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(bad, timeout=60)
+    assert e.value.code == 400
