@@ -97,15 +97,20 @@ class RNASeqVAE(fnn.Module):
         x_hat = self.decode(z)
         return {"mu": mu, "scale": scale, "z": z, "x_hat": x_hat}
 
+    def _nb_params(self, x_hat):
+        """NB parameters from the sigmoid decoder output: per-gene trial
+        probs -> logits (recovered via logit(x_hat) for a single fused
+        graph) + learned inverse-dispersion. Shared by loss() and iwae()
+        so the bound always scores the exact trained density."""
+        probs = jnp.clip(x_hat, 1e-6, 1.0 - 1e-6)
+        logits = jnp.log(probs) - jnp.log1p(-probs)
+        return logits, jnp.exp(self.nb_log_theta)
+
     def loss(self, x):
         out = self(x)
         mu, scale, z, x_hat = out["mu"], out["scale"], out["z"], out["x_hat"]
         if self.recon == "nb":
-            # sigmoid output = per-gene trial probs; logits = dec_out pre-sigmoid
-            # recovered via logit(x_hat) for a single fused graph.
-            probs = jnp.clip(x_hat, 1e-6, 1.0 - 1e-6)
-            logits = jnp.log(probs) - jnp.log1p(-probs)
-            theta = jnp.exp(self.nb_log_theta)
+            logits, theta = self._nb_params(x_hat)
             recon = -jnp.sum(
                 negative_binomial_log_prob(x, theta, logits=logits), axis=-1
             )
@@ -142,13 +147,16 @@ class RNASeqVAE(fnn.Module):
         def loglik(zf):
             xh = self.decode(zf).reshape(k, x.shape[0], -1)
             if self.recon == "nb":
-                probs = jnp.clip(xh, 1e-6, 1.0 - 1e-6)
-                logits = jnp.log(probs) - jnp.log1p(-probs)
-                theta = jnp.exp(self.nb_log_theta)
-                return jnp.sum(
+                logits, theta = self._nb_params(xh)
+                lp = jnp.sum(
                     negative_binomial_log_prob(x[None], theta, logits=logits),
                     axis=-1,
                 )
+                # NB is a density over non-negative counts: poison the
+                # bound to NaN on (z-scored) negative inputs, mirroring
+                # loss() — a finite-garbage marginal likelihood is worse
+                # than a loud one
+                return jnp.where(jnp.any(x < 0, axis=-1)[None], jnp.nan, lp)
             return gaussian_loglik(x, xh)
 
         log_w = latent_log_weights(self, self.ball, mu, scale, k, 1.0, loglik)

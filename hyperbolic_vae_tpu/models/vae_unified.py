@@ -222,12 +222,11 @@ class UnifiedVAE(fnn.Module):
             if m == "MSE":
                 return gaussian_loglik(xf, xh)
             if m in ("binary_cross_entropy", "binary_cross_entropy_with_logits"):
-                probs = xh if m == "binary_cross_entropy" else fnn.sigmoid(xh)
-                probs = jnp.clip(probs, 1e-6, 1.0 - 1e-6)
-                return jnp.sum(
-                    xf[None] * jnp.log(probs) + (1.0 - xf[None]) * jnp.log1p(-probs),
-                    axis=-1,
-                )
+                # the SAME density training optimizes (loss_recon) — a
+                # separate clip constant here would make the bound score
+                # a slightly different likelihood at saturated outputs
+                f = _bce if m == "binary_cross_entropy" else _bce_with_logits
+                return -jnp.sum(f(xh, xf[None]), axis=-1)
             if m == "relaxed bernoulli":
                 kw = {"logits": xh} if self.last_activation == "none" else {"probs": xh}
                 return jnp.sum(

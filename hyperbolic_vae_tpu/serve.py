@@ -245,13 +245,15 @@ class Inferencer:
         base = jax.random.PRNGKey(int(seed))
         n_batches = max(-(-int(n) // b), 1)
         cap = self.max_batches_per_dispatch
+        # one vmapped fold_in per piece, NOT a Python loop of eager
+        # fold_in calls — each eager op is a separate device round trip
+        # on dispatch-latency-heavy backends (see _fn_k)
+        fold = jax.vmap(lambda i: jax.random.fold_in(base, i))
         pieces = []
         for start in range(0, n_batches, cap):
             kb = min(cap, n_batches - start)
             bucket = self._bucket(kb)
-            keys = jnp.stack(
-                [jax.random.fold_in(base, i) for i in range(start, start + bucket)]
-            )
+            keys = fold(jnp.arange(start, start + bucket))
             if bucket == 1:
                 out = self._gen_fn()(self.params, keys[0])
                 pieces.append(np.asarray(jax.device_get(out)))
@@ -286,11 +288,16 @@ class Inferencer:
         return len(self._compiled)
 
     def warmup(self, data_shape: Optional[tuple] = None,
-               methods: tuple = ("reconstruct", "encode", "decode")):
+               methods: Optional[tuple] = None):
         """Pay every compile before traffic arrives (first TPU compile can
         take minutes through a remote relay): primes the FULL bucket set
-        per method — including decode's latent-shaped programs — so no
+        per method — including decode's latent-shaped programs and, for
+        models that expose it, generate's key-driven programs — so no
         request on any endpoint triggers a compile later."""
+        if methods is None:
+            methods = ("reconstruct", "encode", "decode") + (
+                ("generate",) if hasattr(self.model, "generate") else ()
+            )
         shape = tuple(data_shape) if data_shape else model_data_shape(self.model)
         for method in methods:
             if method == "generate":

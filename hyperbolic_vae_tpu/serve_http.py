@@ -37,7 +37,9 @@ Endpoints:
   POST /v1/decode            latents -> reconstruction
   POST /v1/reconstruct       inputs -> deterministic reconstruction
   POST /v1/generate          ``{"n": N, "seed": S}`` -> N decoded
-                             latent-prior samples (seed-replayable)
+                             latent-prior samples (seed-replayable;
+                             ``Accept: application/octet-stream`` for a
+                             raw-f32 reply)
 
 Request body: ``{"data": [[...], ...]}`` (application/json) or raw f32
 bytes + ``X-Shape: n,d0,d1,...`` (application/octet-stream). Responses
@@ -420,6 +422,12 @@ class InferenceServer:
                     else:
                         with server._device_lock:
                             out = engine.generate(n, seed)
+                except KeyError as e:
+                    # a bundle exported without generate programs: a
+                    # capability gap, not a server fault
+                    server.metrics.error("bad_request")
+                    self._reply_json(404, {"error": f"generate unavailable: {e}"})
+                    return
                 except Exception as e:
                     server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})
@@ -428,7 +436,17 @@ class InferenceServer:
                     "generate" if model is None else f"{model}/generate",
                     n, time.perf_counter() - t_start,
                 )
-                self._reply_json(200, {"outputs": [out.tolist()]})
+                accept = (self.headers.get("Accept") or "").split(";")[0]
+                if accept == "application/octet-stream":
+                    # raw-f32 reply for bulk sampling — tolist()+JSON on
+                    # tens of MB of pixels is request-thread poison
+                    a = np.ascontiguousarray(out, np.dtype("<f4"))
+                    self._reply(
+                        200, a.tobytes(), "application/octet-stream",
+                        {"X-Shape": ",".join(str(d) for d in a.shape)},
+                    )
+                else:
+                    self._reply_json(200, {"outputs": [out.tolist()]})
 
             def do_POST(self):  # noqa: N802
                 parts = self.path.strip("/").split("/")
@@ -509,7 +527,13 @@ class InferenceServer:
             "batch_size": inf.batch_size,
             "max_batches_per_dispatch": inf.max_batches_per_dispatch,
             "buckets": list(inf._buckets),
-            "methods": list(_METHODS) + ["generate"],
+            # truth per engine: a bundle only has what was exported; a
+            # live engine only has generate if the model family does
+            "methods": (
+                list(m["methods"]) if m
+                else list(_METHODS)
+                + (["generate"] if hasattr(inf.model, "generate") else [])
+            ),
             "data_shape": list(m["data_shape"]) if m
             else list(model_data_shape(inf.model)),
         }

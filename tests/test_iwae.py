@@ -152,3 +152,19 @@ def test_trainer_evaluate_iwae_chunked():
     assert np.isfinite(v)
     single = _iwae(model, res.best_params, jnp.asarray(dm.x_test[:48]), 96).mean()
     assert abs(v - float(single)) < 25.0  # same scale, independent RNG
+
+
+def test_rnaseq_nb_iwae_poisons_negative_inputs():
+    """NB is a density over counts: iwae on (z-scored) negative inputs
+    must go NaN loudly, mirroring loss() (vae_rnaseq.py), never report
+    finite garbage."""
+    model = RNASeqVAE(in_features=8, hidden_dim=4, latent_dim=2, recon="nb")
+    x_ok = jnp.asarray(np.abs(np.random.default_rng(0).poisson(3.0, (4, 8))), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x_ok
+    )["params"]
+    good = _iwae(model, params, x_ok, k=8)
+    assert np.all(np.isfinite(good))
+    x_bad = x_ok.at[1, 3].set(-0.5)
+    bad = _iwae(model, params, x_bad, k=8)
+    assert np.isnan(bad[1]) and np.isfinite(bad[[0, 2, 3]]).all()

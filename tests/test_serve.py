@@ -240,3 +240,15 @@ def test_generate_bounded_compiles(trained):
     gen_programs = [k for k in inf._compiled
                     if k == "generate" or (isinstance(k, tuple) and k[0] == "generate")]
     assert len(gen_programs) <= len(inf._buckets) + 1, gen_programs
+
+
+def test_warmup_primes_generate_too(trained):
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64,
+                     max_batches_per_dispatch=4)
+    inf.warmup()  # default methods must include generate for VAE families
+    n0 = inf.n_programs
+    inf.generate(1)
+    inf.generate(64 * 4)   # full cap
+    inf.generate(64 * 9)   # multi-piece
+    assert inf.n_programs == n0

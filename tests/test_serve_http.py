@@ -501,3 +501,20 @@ def test_generate_endpoint(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(bad, timeout=60)
     assert e.value.code == 400
+
+
+def test_generate_raw_reply_and_manifest_truth(served):
+    dm, inf, server = served
+    # manifest advertises generate for a live VAE engine
+    with urllib.request.urlopen(_url(server, "/v1/manifest"), timeout=60) as r:
+        assert "generate" in json.loads(r.read())["methods"]
+    req = urllib.request.Request(
+        _url(server, "/v1/generate"),
+        data=json.dumps({"n": 2, "seed": 1}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        shape = tuple(int(s) for s in r.headers["X-Shape"].split(","))
+        out = np.frombuffer(r.read(), "<f4").reshape(shape)
+    np.testing.assert_allclose(out, inf.generate(2, seed=1), atol=1e-6)
