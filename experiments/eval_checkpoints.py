@@ -60,6 +60,11 @@ if __name__ == "__main__":
              "(test/iwae_K; the reference's unimplemented follow-up, "
              "vae_hyperbolic_gyroplane_decoder.py:37-40)",
     )
+    parser.add_argument(
+        "--probe", type=int, default=0, metavar="K",
+        help="also report latent-space probe accuracies (K-NN + nearest "
+             "Fréchet mean under the latent metric, probe.py)",
+    )
     args = parser.parse_args()
     setup(args, "eval_checkpoints")
     results = {}
@@ -79,6 +84,11 @@ if __name__ == "__main__":
                 )
             except Exception as e:  # families without iwae stay evaluable
                 print(f"iwae unavailable for {ckpt_dir}: {e}")
+        if args.probe:
+            try:
+                metrics.update(trainer.evaluate_probe(dm, params, k=args.probe))
+            except Exception as e:
+                print(f"probe unavailable for {ckpt_dir}: {e}")
         results[str(ckpt_dir)] = {
             "model": meta["model"]["__model_class__"],
             "epoch": meta.get("epoch"),

@@ -1152,6 +1152,33 @@ class Trainer:
             total += float(jnp.sum(combined))
         return total / n
 
+    def evaluate_probe(self, dm: ArrayDataModule, params, k: int = 10,
+                       train_split: str = "train", eval_split: str = "test",
+                       max_train: int = 20000) -> dict:
+        """Latent-space probe accuracies (probe.py): kNN + nearest
+        Fréchet mean under the model's latent metric, on posterior-mean
+        embeddings from the padded encode_split path. ``max_train``
+        bounds the reference set (seeded subsample) so the distance
+        blocks stay MXU-sized at MNIST scale."""
+        from hyperbolic_vae_tpu.probe import knn_accuracy, nearest_mean_accuracy
+
+        z_tr, y_tr = self.encode_split(dm, params, train_split)
+        if len(z_tr) > max_train:
+            idx = np.random.default_rng(self.seed).choice(
+                len(z_tr), max_train, replace=False
+            )
+            z_tr, y_tr = z_tr[idx], np.asarray(y_tr)[idx]
+        z_te, y_te = self.encode_split(dm, params, eval_split)
+        ball = getattr(self.model, "ball", None)
+        return {
+            f"{eval_split}/probe_knn{k}_acc": float(
+                knn_accuracy(z_tr, y_tr, z_te, y_te, ball=ball, k=k)
+            ),
+            f"{eval_split}/probe_nearest_mean_acc": float(
+                nearest_mean_accuracy(z_tr, y_tr, z_te, y_te, ball=ball)
+            ),
+        }
+
     def encode_split(self, dm: ArrayDataModule, params, split: str = "val",
                      batch_size: Optional[int] = None):
         """Posterior means for a split (for latent-space visualization).
