@@ -200,3 +200,13 @@ def test_grid_cli_lane_sweep(tmp_path):
 
     results = json.loads((tmp_path / "grid_results.json").read_text())
     assert all(v is not None for v in results.values()), results
+
+
+def test_probe_geometry_compare_cli(tmp_path):
+    out = run_script(
+        "probe_geometry_compare.py",
+        "--n-samples", "200", "--n-genes", "64", "--probe-k", "3",
+        "--run-dir", str(tmp_path),
+    )
+    assert "hyperbolic" in out and "euclidean" in out
+    assert (tmp_path / "probe_compare.json").exists()
