@@ -32,7 +32,9 @@ def iwae_eval(model, params, dm, k: int, seed: int = 0, chunk: int = 256) -> flo
     )
     for i in range(0, n, chunk):
         key = jax.random.PRNGKey(seed + i)
-        vals.append(float(f(jnp.asarray(x_test[i : i + chunk]), key)))
+        # iwae returns per-sample bounds (B,); equal-size chunks, so the
+        # mean of chunk means equals the split mean
+        vals.append(float(jnp.mean(f(jnp.asarray(x_test[i : i + chunk]), key))))
     return sum(vals) / max(len(vals), 1)
 
 
@@ -62,7 +64,8 @@ def iwae_eval_lanes(model_fn, sweep, lanes, dm, k: int, seed: int = 0,
     for i in range(0, n, chunk):
         key = jax.random.PRNGKey(seed + i)
         vals.append(np.asarray(f(best, hp_stack, jnp.asarray(x_test[i : i + chunk]), key)))
-    per_lane = np.mean(np.stack(vals, axis=0), axis=0)
+    # (n_chunks, S, B) per-sample bounds -> per-lane means
+    per_lane = np.mean(np.stack(vals, axis=0), axis=(0, 2))
     return [float(v) for v in per_lane]
 
 

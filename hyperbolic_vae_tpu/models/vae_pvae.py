@@ -128,11 +128,15 @@ class PvaeMLPVAE(fnn.Module):
         }
 
     def iwae(self, x, k: int = 5000):
-        """Importance-weighted bound: mean_B logsumexp_K(log w) - log K
-        (the reference's 5000-sample IWAE eval, _9_pvae_replicate.py:205)."""
+        """PER-SAMPLE importance-weighted bound (B,): logsumexp_K(log w)
+        - log K (the reference's 5000-sample IWAE eval,
+        _9_pvae_replicate.py:205). Per-sample (not pre-meaned) so the
+        family-uniform ``Trainer.evaluate_iwae`` chunking recombines it
+        exactly (models/iwae.py); callers mean over B for the headline
+        number."""
         log_px_z, log_pz, log_qz = self.elbo_parts(x, k)
         log_w = log_px_z + log_pz - log_qz  # (K, B)
-        return jnp.mean(jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k)))
+        return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(k))
 
     def reconstruct(self, x):
         logits = self(x)["x_hat"]

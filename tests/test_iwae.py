@@ -168,3 +168,23 @@ def test_rnaseq_nb_iwae_poisons_negative_inputs():
     x_bad = x_ok.at[1, 3].set(-0.5)
     bad = _iwae(model, params, x_bad, k=8)
     assert np.isnan(bad[1]) and np.isfinite(bad[[0, 2, 3]]).all()
+
+
+def test_pvae_family_uniform_iwae_api():
+    """PvaeMLPVAE.iwae is per-sample (B,) like every other family, so
+    Trainer.evaluate_iwae's exact chunk recombination applies to it too."""
+    from hyperbolic_vae_tpu.data import mnist
+    from hyperbolic_vae_tpu.models import PvaeMLPVAE
+    from hyperbolic_vae_tpu.train import Trainer
+
+    dm = mnist.make_data_module(batch_size=32, synthetic=True, n_train=96, n_test=32)
+    model = PvaeMLPVAE(data_shape=dm.input_shape, latent_dim=2)
+    x = jnp.asarray(dm.x_test[:8])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )["params"]
+    b = _iwae(model, params, x, k=16)
+    assert b.shape == (8,) and np.all(np.isfinite(b))
+    trainer = Trainer(model, max_epochs=1)
+    v = trainer.evaluate_iwae(dm, params, k=64, batch_chunk=16, k_chunk=32)
+    assert np.isfinite(v)

@@ -41,6 +41,9 @@ def test_iwae_bound_tighter_than_elbo():
         model.apply({"params": params}, x, method="loss", rngs={"sample": jax.random.PRNGKey(3)})["elbo"]
     )
     iwae = float(
-        model.apply({"params": params}, x, 256, method="iwae", rngs={"sample": jax.random.PRNGKey(3)})
+        jnp.mean(
+            model.apply({"params": params}, x, 256, method="iwae",
+                        rngs={"sample": jax.random.PRNGKey(3)})
+        )
     )
     assert iwae >= elbo - 0.5, (iwae, elbo)  # allow MC slack
