@@ -56,6 +56,18 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="linear LR warmup epochs for --lr-schedule",
     )
     p.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="A>1: accumulate gradients over A microbatches per optimizer"
+        " step (effective batch stays --batch-size; activation memory"
+        " drops to batch/A — for configs whose full batch of activations"
+        " exceeds HBM)",
+    )
+    p.add_argument(
+        "--grad-clip-norm", type=float, default=None,
+        help="clip gradients to this global L2 norm before the optimizer"
+        " (torch clip_grad_norm_ semantics)",
+    )
+    p.add_argument(
         "--ema-decay", type=float, default=None,
         help="track a parameter EMA (Polyak averaging) in the optimizer"
         " state; manifold leaves average in the tangent space at the"
@@ -85,6 +97,8 @@ def trainer_extra(args) -> dict:
         "epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1),
         "moment_dtype": getattr(args, "moment_dtype", None),
         "ema_decay": getattr(args, "ema_decay", None),
+        "grad_accum_steps": getattr(args, "grad_accum", 1),
+        "grad_clip_norm": getattr(args, "grad_clip_norm", None),
     }
     name = getattr(args, "lr_schedule", None)
     if name == "cosine":

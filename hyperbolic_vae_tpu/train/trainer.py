@@ -59,6 +59,12 @@ class TrainResult:
     # Trainer was built with ema_decay=...) — evaluate with
     # trainer.evaluate(dm, params=result.ema_params)
     ema_params: Any = None
+    # True when the run stopped early on an EXTERNAL event (preemption
+    # signal / wall-clock budget — train/preemption.py) rather than
+    # max_epochs or early stopping; resume state was saved, so a later
+    # fit(resume=True) continues where this run left off
+    interrupted: bool = False
+    stop_reason: Optional[str] = None
 
 
 class Trainer:
@@ -92,6 +98,10 @@ class Trainer:
         hp_model_fn=None,  # optional fn(hp dict of scalars) -> flax model: hyperparameter-LANE sweeps (fit_lane_sweep)
         ema_decay: Optional[float] = None,  # parameter EMA (Polyak averaging) tracked in the optimizer state
         lr_schedule=None,  # optional jnp-traceable fn(epoch) -> lr (optim/schedules.py cosine_schedule/exponential_schedule); replaces plateau control
+        grad_accum_steps: int = 1,  # A>1: each optimizer step accumulates grads over A microbatches of batch_size/A rows (in-graph lax.scan; activation memory = ONE microbatch)
+        grad_clip_norm: Optional[float] = None,  # clip grads to this global L2 norm before the optimizer (Lightning gradient_clip_val equivalent; applied to Euclidean grads, i.e. before egrad2rgrad)
+        max_wall_seconds: Optional[float] = None,  # graceful stop once fit() exceeds this budget (checked at epoch/chunk boundaries; full resume state saved)
+        preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,): handle these as graceful-stop requests during fit (train/preemption.py)
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -107,6 +117,37 @@ class Trainer:
         # chunk boundaries, profile_dir is unsupported.
         assert epochs_per_dispatch >= 1
         self.epochs_per_dispatch = int(epochs_per_dispatch)
+        # gradient accumulation: the effective (optimizer-step) batch is
+        # still dm.batch_size; each step computes it as A sequential
+        # microbatch grad passes accumulated in the scan carry, so the
+        # activation high-water mark is batch_size/A rows. Exact for
+        # per-sample-mean losses (mean of equal-size microbatch grads ==
+        # full-batch grad up to f32 reduction order); MC losses draw one
+        # sample key PER MICROBATCH, so stochastic metrics agree in
+        # distribution, not bitwise, with A=1.
+        assert grad_accum_steps >= 1
+        self.grad_accum_steps = int(grad_accum_steps)
+        if self.grad_accum_steps > 1 and train_step_fn is not None:
+            raise ValueError(
+                "grad_accum_steps does not compose with train_step_fn "
+                "(the full-step override owns its own grad computation)"
+            )
+        # global-norm gradient clipping (torch clip_grad_norm_ / Lightning
+        # gradient_clip_val semantics: one shared scale min(1, c/||g||)).
+        # Clips the EUCLIDEAN grads — riemannian_adam's egrad2rgrad runs
+        # after, so manifold params see the same uniform scaling.
+        if grad_clip_norm is not None and train_step_fn is not None:
+            raise ValueError("grad_clip_norm does not compose with train_step_fn")
+        self.grad_clip_norm = (
+            float(grad_clip_norm) if grad_clip_norm is not None else None
+        )
+        # graceful-stop plumbing (preemption / wall-clock budgets): see
+        # train/preemption.py and _external_stop
+        self.max_wall_seconds = max_wall_seconds
+        self.preempt_signals = tuple(preempt_signals)
+        self._shutdown = None
+        self._fit_t0 = None
+        self._stop_reason = None
         # loss override: e.g. the fused Pallas flagship step
         # (ops/flagship_fused.make_fused_loss_fn); defaults to
         # model.apply(method='loss')
@@ -254,6 +295,58 @@ class Trainer:
 
         shuffle = self.shuffle
         train_step_fn = self.train_step_fn
+        grad_accum = self.grad_accum_steps
+        grad_clip = self.grad_clip_norm
+        if grad_accum > 1 and batch_size % grad_accum:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"grad_accum_steps {grad_accum}"
+            )
+
+        def grads_and_metrics(p, batch, sk, hp):
+            """(loss, metrics, grads) for one optimizer step; with
+            grad_accum>1 the batch is A equal microbatches scanned
+            sequentially, grads/metrics accumulated in the carry (ONE
+            microbatch of activations live at a time)."""
+            if grad_accum == 1:
+                def loss_fn(p_):
+                    m = loss_metrics(p_, batch, sk, hp)
+                    return m["loss_total"], m
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p)
+                return loss, metrics, grads
+
+            micro = batch.reshape(
+                grad_accum, batch_size // grad_accum, *batch.shape[1:]
+            )
+            keys = jax.random.split(sk, grad_accum)
+            m0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(loss_metrics, p, micro[0], keys[0], hp),
+            )
+            g0 = jax.tree.map(jnp.zeros_like, p)
+
+            def micro_body(carry, xs):
+                g_acc, m_acc = carry
+                mb, mk = xs
+
+                def loss_fn(p_):
+                    m = loss_metrics(p_, mb, mk, hp)
+                    return m["loss_total"], m
+
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                return (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    jax.tree.map(jnp.add, m_acc, m),
+                ), None
+
+            (g_sum, m_sum), _ = jax.lax.scan(micro_body, (g0, m0), (micro, keys))
+            inv = 1.0 / grad_accum
+            metrics = jax.tree.map(lambda v: v * inv, m_sum)
+            grads = jax.tree.map(lambda v: v * inv, g_sum)
+            return metrics["loss_total"], metrics, grads
 
         def train_epoch(params, opt_state, x_all, key, hp=None):
             optimizer = get_optimizer(hp)
@@ -286,15 +379,18 @@ class Trainer:
                     params, opt_state, metrics = train_step_fn(params, opt_state, batch, sk)
                     return (params, opt_state, skey), metrics
 
-                def loss_fn(p):
-                    m = loss_metrics(p, batch, sk, hp)
-                    return m["loss_total"], m
-
-                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                loss, metrics, grads = grads_and_metrics(params, batch, sk, hp)
+                gnorm = optax.global_norm(grads)
+                if grad_clip is not None:
+                    # one shared scale (torch clip_grad_norm_ semantics);
+                    # a non-finite gnorm leaves grads non-finite and the
+                    # ok-guard below skips the step as before
+                    scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+                    grads = jax.tree.map(lambda g: g * scale, grads)
                 # failure containment (SURVEY 5.2): a non-finite loss or
                 # gradient skips the update instead of poisoning params —
                 # the jit-world version of "probe_infnan then continue".
-                ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+                ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
                 updates, new_opt_state = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
@@ -693,7 +789,54 @@ class Trainer:
         finally:
             self._stream_rows = None
 
+    def _external_stop(self) -> Optional[str]:
+        """Graceful-stop reason, or None. Checked at epoch (K=1) / chunk
+        (K>1) boundaries — the granularity at which resume state is
+        consistent (a dispatch is never abandoned mid-flight)."""
+        if self._shutdown is not None and self._shutdown.triggered:
+            import signal as _signal
+
+            return f"preemption signal {_signal.Signals(self._shutdown.signum).name}"
+        if (
+            self.max_wall_seconds is not None
+            and time.monotonic() - self._fit_t0 > self.max_wall_seconds
+        ):
+            return f"wall-clock budget ({self.max_wall_seconds}s) exceeded"
+        return None
+
+    def _save_resume_state(self, params, opt_state, key, epoch: int) -> None:
+        """Full resume state: params/opt/PRNG + host controller mirrors
+        (fit(resume=True) restores all of it — bit-identical continuation)."""
+        self._ckpt_mgr.save_state(
+            {"params": params, "opt_state": opt_state, "key": key},
+            {
+                "epoch": epoch,
+                "plateau_lr": self.plateau.lr,
+                "plateau_best": self.plateau.best,
+                "plateau_bad": self.plateau.num_bad_epochs,
+                "early_best": self.early_stopping.best if self.early_stopping else 0.0,
+                "early_wait": self.early_stopping.wait if self.early_stopping else 0,
+            },
+        )
+
     def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
+        """See _fit_inner; this wrapper owns the graceful-stop machinery
+        (preemption signals are installed only while fit runs)."""
+        self._fit_t0 = time.monotonic()
+        self._stop_reason = None
+        if not self.preempt_signals:
+            self._shutdown = None
+            return self._fit_inner(dm, params=params, resume=resume)
+        from hyperbolic_vae_tpu.train.preemption import GracefulShutdown
+
+        with GracefulShutdown(self.preempt_signals) as shutdown:
+            self._shutdown = shutdown
+            try:
+                return self._fit_inner(dm, params=params, resume=resume)
+            finally:
+                self._shutdown = None
+
+    def _fit_inner(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
         if self.hp_model_fn is not None:
             raise ValueError(
                 "hp_model_fn trainers sweep hyperparameter LANES — use "
@@ -863,18 +1006,20 @@ class Trainer:
                 if hasattr(cb, "on_epoch_end"):
                     cb.on_epoch_end(self, epoch, params, metrics)
 
-            if self._ckpt_mgr and (epoch + 1) % self.state_every_n_epochs == 0:
-                self._ckpt_mgr.save_state(
-                    {"params": params, "opt_state": opt_state, "key": key},
-                    {
-                        "epoch": epoch,
-                        "plateau_lr": self.plateau.lr,
-                        "plateau_best": self.plateau.best,
-                        "plateau_bad": self.plateau.num_bad_epochs,
-                        "early_best": self.early_stopping.best if self.early_stopping else 0.0,
-                        "early_wait": self.early_stopping.wait if self.early_stopping else 0,
-                    },
-                )
+            saved_state = self._ckpt_mgr and (epoch + 1) % self.state_every_n_epochs == 0
+            if saved_state:
+                self._save_resume_state(params, opt_state, key, epoch)
+
+            reason = self._external_stop()
+            if reason:
+                # graceful stop (preemption / wall budget): persist the
+                # full resume state even off the state_every_n cadence,
+                # then leave through the normal save-last/result path
+                self._stop_reason = reason
+                logger.warning("graceful stop after epoch %d: %s", epoch, reason)
+                if self._ckpt_mgr and not saved_state:
+                    self._save_resume_state(params, opt_state, key, epoch)
+                break
 
         if self._ckpt_mgr:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
@@ -895,6 +1040,8 @@ class Trainer:
             samples_per_sec=sps,
             ema_params=(ema_params(opt_state)
                         if self._ema_decay is not None else None),
+            interrupted=self._stop_reason is not None,
+            stop_reason=self._stop_reason,
         )
 
     def _save_ema_checkpoint(self, opt_state, epoch: int) -> None:
@@ -993,18 +1140,17 @@ class Trainer:
                 if hasattr(cb, "on_epoch_end"):
                     cb.on_epoch_end(self, epochs_run - 1, params, history[-1])
             if self._ckpt_mgr:
-                self._ckpt_mgr.save_state(
-                    {"params": params, "opt_state": opt_state, "key": key},
-                    {
-                        "epoch": epochs_run - 1,
-                        "plateau_lr": self.plateau.lr,
-                        "plateau_best": self.plateau.best,
-                        "plateau_bad": self.plateau.num_bad_epochs,
-                        "early_best": self.early_stopping.best if self.early_stopping else 0.0,
-                        "early_wait": self.early_stopping.wait if self.early_stopping else 0,
-                    },
-                )
+                self._save_resume_state(params, opt_state, key, epochs_run - 1)
             if stop:
+                break
+            reason = self._external_stop()
+            if reason:
+                # graceful stop at chunk granularity: resume state for
+                # this chunk is already saved above
+                self._stop_reason = reason
+                logger.warning(
+                    "graceful stop after epoch %d: %s", epochs_run - 1, reason
+                )
                 break
 
         if self._ckpt_mgr:
@@ -1026,6 +1172,8 @@ class Trainer:
             samples_per_sec=sps,
             ema_params=(ema_params(opt_state)
                         if self._ema_decay is not None else None),
+            interrupted=self._stop_reason is not None,
+            stop_reason=self._stop_reason,
         )
 
     def fit_ensemble(self, dm: ArrayDataModule, seeds: Sequence[int],
