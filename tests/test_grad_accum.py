@@ -95,6 +95,30 @@ def test_grad_accum_vae_trains():
     assert max(h["train/skipped_steps"] for h in r.history) == 0.0
 
 
+def test_grad_accum_composes_with_dp_mesh(image_dm):
+    """Under a data mesh the gathered batch is sharded over its leading
+    axis; the microbatch reshape must still produce the full-batch
+    optimizer step (XLA inserts any resharding). Compare dp+accum vs
+    dp-plain on the deterministic AE."""
+    from hyperbolic_vae_tpu.parallel import make_mesh
+
+    def fit(accum):
+        model = Autoencoder(data_shape=(32, 32, 1), base_channel_size=4, latent_dim=8)
+        trainer = Trainer(
+            model, max_epochs=3, early_stopping_patience=None,
+            plateau_patience=1000, grad_accum_steps=accum,
+            mesh=make_mesh(n_data=4), check_finite=False,
+        )
+        return trainer.fit(image_dm)
+
+    r1, r2 = fit(1), fit(2)
+    np.testing.assert_allclose(
+        [h["train/loss_total"] for h in r1.history],
+        [h["train/loss_total"] for h in r2.history],
+        rtol=1e-4,
+    )
+
+
 def test_grad_accum_requires_divisible_batch(image_dm):
     with pytest.raises(ValueError, match="not divisible"):
         _fit_ae(image_dm, grad_accum=3)  # batch 16 % 3 != 0
