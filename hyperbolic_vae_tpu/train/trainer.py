@@ -61,8 +61,10 @@ class TrainResult:
     ema_params: Any = None
     # True when the run stopped early on an EXTERNAL event (preemption
     # signal / wall-clock budget — train/preemption.py) rather than
-    # max_epochs or early stopping; resume state was saved, so a later
-    # fit(resume=True) continues where this run left off
+    # max_epochs or early stopping. When the Trainer has a
+    # checkpoint_dir, resume state was saved and a later
+    # fit(resume=True) continues where this run left off; WITHOUT a
+    # checkpoint_dir nothing was saved (fit() warns at start)
     interrupted: bool = False
     stop_reason: Optional[str] = None
 
@@ -261,207 +263,16 @@ class Trainer:
           ema_decay=self._ema_decay)
 
     def _build_epoch_fns(self, n_train: int, batch_size: int, n_val: int):
-        steps = n_train // batch_size
-        model = self.model
-        hp_model_fn = self.hp_model_fn
-        if hp_model_fn is not None:
-            # hyperparameter-lane mode: model + optimizer are functions of
-            # the per-lane scalar dict ``hp`` (traced under vmap)
-            def loss_metrics(p, batch, key, hp):
-                return hp_model_fn(hp).apply(
-                    {"params": p}, batch, method="loss", rngs={"sample": key}
-                )
+        """Build (and cache the unjitted bodies of) the single-epoch
+        programs — see train/epoch_program.py (extracted round 4)."""
+        from hyperbolic_vae_tpu.train.epoch_program import build_epoch_fns
 
-            def get_optimizer(hp):
-                m = hp_model_fn(hp)
-                return self._make_optimizer(
-                    getattr(m, "ball", None) or PoincareBall(c=1.0)
-                )
-
-        else:
-            base_loss = self.loss_fn or (
-                lambda p, batch, key: model.apply(
-                    {"params": p}, batch, method="loss", rngs={"sample": key}
-                )
-            )
-
-            def loss_metrics(p, batch, key, hp):
-                del hp
-                return base_loss(p, batch, key)
-
-            def get_optimizer(hp):
-                del hp
-                return self._optimizer
-
-        shuffle = self.shuffle
-        train_step_fn = self.train_step_fn
-        grad_accum = self.grad_accum_steps
-        grad_clip = self.grad_clip_norm
-        if grad_accum > 1 and batch_size % grad_accum:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by "
-                f"grad_accum_steps {grad_accum}"
-            )
-
-        def grads_and_metrics(p, batch, sk, hp):
-            """(loss, metrics, grads) for one optimizer step; with
-            grad_accum>1 the batch is A equal microbatches scanned
-            sequentially, grads/metrics accumulated in the carry (ONE
-            microbatch of activations live at a time)."""
-            if grad_accum == 1:
-                def loss_fn(p_):
-                    m = loss_metrics(p_, batch, sk, hp)
-                    return m["loss_total"], m
-
-                (loss, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(p)
-                return loss, metrics, grads
-
-            micro = batch.reshape(
-                grad_accum, batch_size // grad_accum, *batch.shape[1:]
-            )
-            keys = jax.random.split(sk, grad_accum)
-            m0 = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype),
-                jax.eval_shape(loss_metrics, p, micro[0], keys[0], hp),
-            )
-            g0 = jax.tree.map(jnp.zeros_like, p)
-
-            def micro_body(carry, xs):
-                g_acc, m_acc = carry
-                mb, mk = xs
-
-                def loss_fn(p_):
-                    m = loss_metrics(p_, mb, mk, hp)
-                    return m["loss_total"], m
-
-                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
-                return (
-                    jax.tree.map(jnp.add, g_acc, g),
-                    jax.tree.map(jnp.add, m_acc, m),
-                ), None
-
-            (g_sum, m_sum), _ = jax.lax.scan(micro_body, (g0, m0), (micro, keys))
-            inv = 1.0 / grad_accum
-            metrics = jax.tree.map(lambda v: v * inv, m_sum)
-            grads = jax.tree.map(lambda v: v * inv, g_sum)
-            return metrics["loss_total"], metrics, grads
-
-        def train_epoch(params, opt_state, x_all, key, hp=None):
-            optimizer = get_optimizer(hp)
-            perm_key, sample_key, off_key = jax.random.split(key, 3)
-            if shuffle == "row":
-                # exact reference semantics: fresh per-sample permutation
-                perm = jax.random.permutation(perm_key, n_train)[: steps * batch_size]
-                scan_xs = perm.reshape(steps, batch_size)
-            else:
-                # "block": each batch is a random contiguous window of the
-                # (host-shuffled) dataset. Per-row gathers are DMA-latency
-                # bound on TPU (~40ms/epoch at 60k x 784); one contiguous
-                # dynamic_slice per step is ~2x faster end-to-end. Window
-                # starts are uniform over [0, n-B], so batch composition
-                # re-mixes every step/epoch.
-                del off_key
-                scan_xs = jax.random.randint(
-                    perm_key, (steps,), 0, n_train - batch_size + 1
-                )
-
-            def step(carry, xs):
-                params, opt_state, skey = carry
-                skey, sk = jax.random.split(skey)
-                if shuffle == "row":
-                    batch = jnp.take(x_all, xs, axis=0, mode="clip")  # in-bounds by construction; default "fill" gather miscompiles on some TPU backends
-                else:
-                    batch = jax.lax.dynamic_slice_in_dim(x_all, xs, batch_size, axis=0)
-
-                if train_step_fn is not None:
-                    params, opt_state, metrics = train_step_fn(params, opt_state, batch, sk)
-                    return (params, opt_state, skey), metrics
-
-                loss, metrics, grads = grads_and_metrics(params, batch, sk, hp)
-                gnorm = optax.global_norm(grads)
-                if grad_clip is not None:
-                    # one shared scale (torch clip_grad_norm_ semantics);
-                    # a non-finite gnorm leaves grads non-finite and the
-                    # ok-guard below skips the step as before
-                    scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
-                    grads = jax.tree.map(lambda g: g * scale, grads)
-                # failure containment (SURVEY 5.2): a non-finite loss or
-                # gradient skips the update instead of poisoning params —
-                # the jit-world version of "probe_infnan then continue".
-                ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-                updates, new_opt_state = optimizer.update(grads, opt_state, params)
-                new_params = optax.apply_updates(params, updates)
-                params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
-                opt_state = jax.tree.map(
-                    lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
-                )
-                metrics = dict(metrics, skipped_steps=1.0 - ok.astype(jnp.float32))
-                return (params, opt_state, skey), metrics
-
-            (params, opt_state, _), ms = jax.lax.scan(
-                step, (params, opt_state, sample_key), scan_xs
-            )
-            return params, opt_state, jax.tree.map(jnp.mean, ms)
-
-        eval_batch = min(batch_size, n_val)
-        eval_steps = max(n_val // eval_batch, 1)
-        # the n_val % eval_batch tail is evaluated as its own (tiny) jitted
-        # batch and folded in with an exact sample-count weighting, so the
-        # monitored metric covers the FULL split like the reference's
-        eval_rem = n_val - eval_steps * eval_batch
-
-        def eval_scan(params, x_all, key, hp=None):
-            idx = jnp.arange(eval_steps * eval_batch).reshape(eval_steps, eval_batch)
-
-            def step(skey, batch_idx):
-                skey, sk = jax.random.split(skey)
-                batch = jnp.take(x_all, batch_idx, axis=0, mode="clip")
-                m = loss_metrics(params, batch, sk, hp)
-                return skey, m
-
-            _, ms = jax.lax.scan(step, key, idx)
-            return jax.tree.map(jnp.mean, ms)
-
-        eval_scan_jit = jax.jit(eval_scan)
-        eval_tail_jit = jax.jit(loss_metrics) if eval_rem else None
-        mesh = self.mesh
-
-        def eval_epoch(params, x_all, key):
-            k_main, k_tail = jax.random.split(key)
-            ms = eval_scan_jit(params, x_all, k_main)
-            if eval_rem:
-                start = eval_steps * eval_batch
-                x_tail = x_all[start : start + eval_rem]
-                if mesh is not None:
-                    x_tail = jax.device_put(x_tail, replicated(mesh))
-                tm = eval_tail_jit(params, x_tail, k_tail, None)
-                w_main = (eval_steps * eval_batch) / n_val
-                w_tail = eval_rem / n_val
-                ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)
-            return ms
-
-        def eval_full(params, x_all, key, hp=None):
-            """Fully in-graph eval incl. the tail fold — same math as
-            eval_epoch (trace-safe for the chunked multi-epoch program)."""
-            k_main, k_tail = jax.random.split(key)
-            ms = eval_scan(params, x_all, k_main, hp)
-            if eval_rem:
-                start = eval_steps * eval_batch
-                tm = loss_metrics(params, x_all[start : start + eval_rem], k_tail, hp)
-                w_main = (eval_steps * eval_batch) / n_val
-                w_tail = eval_rem / n_val
-                ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)
-            return ms
-
-        donate = (0, 1)
-        # unjitted in-graph bodies, the chunk program's building blocks
-        self._body_fns_cache[(n_train, batch_size, n_val)] = (train_epoch, eval_full)
-        return (
-            jax.jit(train_epoch, donate_argnums=donate),
-            eval_epoch,
+        train_epoch_jit, eval_epoch, train_body, eval_full = build_epoch_fns(
+            self, n_train, batch_size, n_val
         )
+        # unjitted in-graph bodies, the chunk program's building blocks
+        self._body_fns_cache[(n_train, batch_size, n_val)] = (train_body, eval_full)
+        return train_epoch_jit, eval_epoch
 
     def _stage(self, x: np.ndarray):
         x = jnp.asarray(x, dtype=jnp.float32)
@@ -497,269 +308,40 @@ class Trainer:
         return self._epoch_fns_cache[key]
 
     def _chunk_fn(self, n_train: int, batch_size: int, n_val: int, k: int):
-        """K-epochs-in-one-dispatch program: scan of (train epoch + full
-        val eval + best-params tracking + IN-GRAPH controllers).
-
-        ReduceLROnPlateau and EarlyStopping run inside the compiled scan
-        with the exact host semantics (optim/schedules.py), so chunked
-        training is bit-identical to the K=1 loop for ANY K — including
-        across LR drops and early stops. Epochs after an in-graph stop are
-        skipped via lax.cond (no wasted FLOPs); the epoch counter freezes,
-        which is how the host learns how many epochs actually ran.
-
-        ``ctrl`` is a dict of scalars: the controller + best-tracking
-        state threaded through chunks (see _fit_chunked for the fields).
-        """
+        """K-epochs-in-one-dispatch program (see train/chunk_program.py,
+        extracted round 4): scan of (train epoch + full val eval +
+        best-params tracking + IN-GRAPH controllers), bit-identical to
+        the K=1 loop for ANY K. Cached per (shape, k, schedule); the
+        UNJITTED body is kept for train/ensemble.py to vmap."""
         # the schedule's values are baked into the traced program, so a
         # different schedule callable must compile a different program
         cache_key = (n_train, batch_size, n_val, k, self.lr_schedule)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
+        from hyperbolic_vae_tpu.train.chunk_program import build_chunk_body
+
         self._epoch_fns(n_train, batch_size, n_val)  # fills _body_fns_cache
         train_body, eval_full = self._body_fns_cache[(n_train, batch_size, n_val)]
-        if not self.monitor.startswith("val/"):
-            raise ValueError(
-                f"epochs_per_dispatch>1 requires a val/ monitor, got {self.monitor}"
-            )
-        monitor_key = self.monitor.split("/", 1)[1]
-        pl_factor = self._plateau_cfg["factor"]
-        pl_patience = self._plateau_cfg["patience"]
-        pl_min_lr = self._plateau_cfg["min_lr"]
-        pl_threshold = self.plateau.threshold
-        es_enabled = self._early_patience is not None
-        es_patience = self._early_patience or 0
-        es_min_delta = self.early_stopping.min_delta if es_enabled else 0.0
-        lr_schedule = self.lr_schedule
-
-        def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key, hp=None):
-            # abstract-eval (no FLOPs) the metric pytree structures so the
-            # skip branch of the cond can emit NaN rows of matching shape
-            tms_shape = jax.eval_shape(
-                lambda p, o, kk: train_body(p, o, x_train, kk, hp)[2], params, opt_state, key
-            )
-            vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk, hp), params, key)
-            nan_of = lambda tree: jax.tree.map(
-                lambda s: jnp.full(s.shape, jnp.nan, s.dtype), tree
-            )
-
-            def body(carry, _):
-                params, opt_state, best_params, ctrl, key = carry
-                key, ek, vk = jax.random.split(key, 3)  # same order as fit()
-                active = ~ctrl["stopped"]
-                # deterministic schedule (epoch-indexed, in-graph) takes
-                # precedence over the plateau controller's lr
-                if lr_schedule is not None:
-                    lr_used = lr_schedule(ctrl["epoch"])
-                else:
-                    lr_used = ctrl["pl_lr"]
-
-                def do_epoch(args):
-                    params, opt_state, ek, vk, lr = args
-                    # in-graph LR injection: same mechanism as the K=1
-                    # loop's host-side hyperparams write, but per-epoch
-                    opt_state = opt_state._replace(
-                        hyperparams=dict(opt_state.hyperparams, learning_rate=lr)
-                    )
-                    params, opt_state, tms = train_body(params, opt_state, x_train, ek, hp)
-                    vms = eval_full(params, x_val, vk, hp)
-                    return params, opt_state, tms, vms
-
-                def skip_epoch(args):
-                    params, opt_state, *_ = args
-                    return params, opt_state, nan_of(tms_shape), nan_of(vms_shape)
-
-                params, opt_state, tms, vms = jax.lax.cond(
-                    active, do_epoch, skip_epoch, (params, opt_state, ek, vk, lr_used)
-                )
-
-                mon = vms[monitor_key]
-                finite = jnp.isfinite(mon) & active
-                # best-model tracking (mirrors the K=1 host loop)
-                better = finite & (mon < ctrl["best_val"])
-                best_params = jax.tree.map(
-                    lambda b, p: jnp.where(better, p, b), best_params, params
-                )
-                ctrl = dict(ctrl)
-                ctrl["best_val"] = jnp.where(better, mon, ctrl["best_val"])
-                ctrl["best_epoch"] = jnp.where(better, ctrl["epoch"], ctrl["best_epoch"])
-                # ReduceLROnPlateau (torch rel-threshold min semantics)
-                improved = mon < ctrl["pl_best"] * (1.0 - pl_threshold)
-                pl_best = jnp.where(improved, mon, ctrl["pl_best"])
-                pl_bad = jnp.where(improved, 0, ctrl["pl_bad"] + 1)
-                trip = pl_bad > pl_patience
-                # reductions only (torch eps-guard): a per-lane lr below
-                # min_lr must never be RAISED to min_lr on a trip
-                pl_cand = jnp.maximum(ctrl["pl_lr"] * pl_factor, pl_min_lr)
-                pl_lr = jnp.where(
-                    trip & (pl_cand < ctrl["pl_lr"]), pl_cand, ctrl["pl_lr"]
-                )
-                pl_bad = jnp.where(trip, 0, pl_bad)
-                # controllers only step on finite monitors (K=1 parity)
-                ctrl["pl_best"] = jnp.where(finite, pl_best, ctrl["pl_best"])
-                ctrl["pl_bad"] = jnp.where(finite, pl_bad, ctrl["pl_bad"])
-                ctrl["pl_lr"] = jnp.where(finite, pl_lr, ctrl["pl_lr"])
-                if es_enabled:
-                    es_improved = mon < ctrl["es_best"] - es_min_delta
-                    es_best = jnp.where(es_improved, mon, ctrl["es_best"])
-                    es_wait = jnp.where(es_improved, 0, ctrl["es_wait"] + 1)
-                    ctrl["es_best"] = jnp.where(finite, es_best, ctrl["es_best"])
-                    ctrl["es_wait"] = jnp.where(finite, es_wait, ctrl["es_wait"])
-                    ctrl["stopped"] = ctrl["stopped"] | (
-                        finite & (es_wait >= es_patience)
-                    )
-                # the stop epoch itself counts as run (K=1 records it)
-                ctrl["epoch"] = ctrl["epoch"] + jnp.where(active, 1, 0)
-                return (params, opt_state, best_params, ctrl, key), (tms, vms, lr_used)
-
-            carry, ys = jax.lax.scan(
-                body, (params, opt_state, best_params, ctrl, key), None, length=k
-            )
-            return carry + ys
-
+        chunk = build_chunk_body(self, train_body, eval_full, k)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
-        # the UNJITTED body is reused by train/ensemble.py, which vmaps it
-        # over a leading seed axis (multi-seed training in one program)
         self._chunk_body_cache[cache_key] = chunk
         self._chunk_fn_cache[cache_key] = fn
         return fn
 
     def _init_ctrl(self, start_epoch: int = 0) -> dict:
-        """In-graph controller + best-tracking state for the chunk program
-        (fields mirror optim/schedules.py; seeded from the possibly-resumed
-        host controller mirrors)."""
-        return {
-            "best_val": jnp.asarray(jnp.inf, jnp.float32),
-            "best_epoch": jnp.asarray(-1, jnp.int32),
-            "epoch": jnp.asarray(start_epoch, jnp.int32),
-            "pl_lr": jnp.asarray(self.plateau.lr, jnp.float32),
-            "pl_best": jnp.asarray(self.plateau.best, jnp.float32),
-            "pl_bad": jnp.asarray(self.plateau.num_bad_epochs, jnp.int32),
-            "es_best": jnp.asarray(
-                self.early_stopping.best if self.early_stopping else jnp.inf, jnp.float32
-            ),
-            "es_wait": jnp.asarray(
-                self.early_stopping.wait if self.early_stopping else 0, jnp.int32
-            ),
-            "stopped": jnp.asarray(False),
-        }
+        """In-graph controller + best-tracking state for the chunk
+        program (train/chunk_program.py init_ctrl)."""
+        from hyperbolic_vae_tpu.train.chunk_program import init_ctrl
+
+        return init_ctrl(self, start_epoch)
 
     def _make_streamed_epoch(self, dm: ArrayDataModule, block_rows: int, n_val: int,
                              start_epoch: int = 0):
-        """Build a train-epoch callable for HOST-RESIDENT training data
-        (datasets larger than device HBM — the one capacity ceiling of the
-        stage-once design, data/core.py docstring).
+        """Host-resident (streamed) train epoch — see train/streaming.py
+        (extracted round 4)."""
+        from hyperbolic_vae_tpu.train.streaming import make_streamed_epoch
 
-        The epoch is J = n_train // block_rows equal blocks. Each block is
-        one already-compiled scan program (the per-block shapes are
-        constant, so XLA compiles exactly once); the NEXT block's
-        host->device transfer is enqueued right after the current block's
-        dispatch, so the copy overlaps device compute (double buffering —
-        peak HBM is two blocks + params/opt state/activations).
-
-        Shuffling: block ORDER is host-permuted per epoch and rows are
-        shuffled on-device within each block (self.shuffle semantics), i.e.
-        shuffled-shards + in-shard shuffle. ``stream_reshuffle='rows'``
-        additionally re-assigns rows to blocks each epoch via a full host
-        permutation (exact mixing incl. the n %% block_rows tail, at the
-        cost of a host gather per block). With J == 1 the closure reduces
-        to the resident path's train_epoch call bit-for-bit. Each block
-        trains block_rows // batch_size steps. NB: in 'block_order' mode
-        rows never cross block boundaries, so the n %% block_rows tail is
-        excluded from EVERY epoch (a warning is logged; the resident path
-        re-draws its dropped n %% batch_size tail each epoch) — use
-        reshuffle='rows' when the tail must participate.
-        """
-        x_host = dm.x_train  # numpy or np.memmap — NEVER staged whole
-        n_train = int(x_host.shape[0])
-        bs = dm.batch_size
-        if block_rows < bs:
-            raise ValueError(f"block_rows {block_rows} < batch_size {bs}")
-        if self.mesh is not None and block_rows % self.mesh.shape["data"]:
-            raise ValueError("block_rows must shard evenly over the mesh 'data' axis")
-        j_blocks = n_train // block_rows
-        if j_blocks < 1:
-            raise ValueError(f"block_rows {block_rows} > n_train {n_train}")
-        if n_train % block_rows and self._stream_reshuffle == "block_order":
-            logger.warning(
-                "fit_streamed(block_order): the %d-row tail (n_train %% "
-                "block_rows) is excluded from every epoch; pass "
-                "reshuffle='rows' to mix it in",
-                n_train - j_blocks * block_rows,
-            )
-        block_fn, _ = self._epoch_fns(block_rows, bs, n_val)
-        mesh = self.mesh
-        reshuffle = self._stream_reshuffle
-        # seeded with start_epoch so a resumed run replays the SAME
-        # block-order/row-assignment schedule an uninterrupted run uses
-        epoch_counter = {"n": int(start_epoch)}
-
-        def put(block_np):
-            b = np.asarray(block_np, np.float32)
-            if mesh is not None:
-                return jax.device_put(b, data_sharding(mesh, b.ndim))
-            return jax.device_put(b)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        def train_epoch(params, opt_state, _x_unused, key):
-            e = epoch_counter["n"]
-            epoch_counter["n"] += 1
-            rng = np.random.default_rng((self.seed, 0x5EED, e))
-            # block materialization is LAZY (one block at a time, one
-            # prefetched ahead on a host thread): 'rows' mode gathers
-            # block_rows rows per call — never a full-split host copy
-            if reshuffle == "rows" and j_blocks > 1:
-                perm = rng.permutation(n_train)[: j_blocks * block_rows]
-
-                def host_block(i):
-                    return x_host[perm[i * block_rows : (i + 1) * block_rows]]
-
-            else:
-                order = rng.permutation(j_blocks) if j_blocks > 1 else np.arange(1)
-
-                def host_block(i):
-                    j = int(order[i])
-                    return x_host[j * block_rows : (j + 1) * block_rows]
-
-            ms_list = []
-            # fresh single-worker prefetcher per epoch (shut down at the
-            # end: no idle thread outlives the epoch)
-            prefetcher = ThreadPoolExecutor(max_workers=1) if j_blocks > 1 else None
-            cur = put(host_block(0))
-            pre = prefetcher.submit(host_block, 1) if j_blocks > 1 else None
-            for i in range(j_blocks):
-                kk = key if j_blocks == 1 else jax.random.fold_in(key, i)
-                params, opt_state, ms = block_fn(params, opt_state, cur, kk)
-                # enqueue the next block's H2D while this block computes;
-                # the host gather for block i+2 overlaps on its own thread
-                if i + 1 < j_blocks:
-                    cur = put(pre.result())
-                    pre = (
-                        prefetcher.submit(host_block, i + 2)
-                        if i + 2 < j_blocks
-                        else None
-                    )
-                else:
-                    cur = None
-                if j_blocks > 1:
-                    # cap the async queue at ~2 in-flight ops: a tiny host
-                    # fetch of one metric scalar AFTER enqueueing the next
-                    # transfer, so H2D(i+1) still overlaps compute(i).
-                    # Deep unsynced put->dispatch chains degrade the axon
-                    # relay ~5x below its sustained H2D rate (measured:
-                    # 44.6 s vs 8.3 s for the same 671 MB epoch); on
-                    # healthy runtimes this fetch costs ~0.1 ms/block.
-                    float(jnp.ravel(jax.tree.leaves(ms)[0])[0])
-                ms_list.append(ms)
-            if prefetcher is not None:
-                prefetcher.shutdown(wait=True)
-            if j_blocks == 1:
-                return params, opt_state, ms_list[0]
-            mean_ms = jax.tree.map(lambda *xs: sum(xs) / j_blocks, *ms_list)
-            return params, opt_state, mean_ms
-
-        train_epoch.steps_per_epoch = j_blocks * (block_rows // bs)
-        return train_epoch
+        return make_streamed_epoch(self, dm, block_rows, n_val, start_epoch)
 
     def fit_streamed(
         self,
@@ -824,6 +406,15 @@ class Trainer:
         (preemption signals are installed only while fit runs)."""
         self._fit_t0 = time.monotonic()
         self._stop_reason = None
+        if (self.preempt_signals or self.max_wall_seconds is not None) and not self._ckpt_mgr:
+            # interrupted=True only implies "resume state was saved" when a
+            # checkpoint_dir exists; without one, fit(resume=True) after a
+            # graceful stop silently restarts from scratch (ADVICE r3)
+            logger.warning(
+                "graceful-stop options (preempt_signals/max_wall_seconds) are "
+                "set but the Trainer has no checkpoint_dir: a stop will NOT "
+                "save resume state"
+            )
         if not self.preempt_signals:
             self._shutdown = None
             return self._fit_inner(dm, params=params, resume=resume)
@@ -936,7 +527,10 @@ class Trainer:
         samples_per_epoch = steps * dm.batch_size
         total_samples = 0
         t_start = None  # set after the first (compile) epoch
-        epochs_run = 0
+        # start_epoch, not 0: resuming an already-complete run executes
+        # zero epochs and must not report epochs_run=0 / overwrite the
+        # real "last" checkpoint metadata with epoch=-1 (ADVICE r3)
+        epochs_run = start_epoch
 
         if self.epochs_per_dispatch > 1:
             return self._fit_chunked(
@@ -1010,7 +604,10 @@ class Trainer:
             if saved_state:
                 self._save_resume_state(params, opt_state, key, epoch)
 
-            reason = self._external_stop()
+            # a budget expiring exactly at the final epoch is a COMPLETED
+            # run, not an interruption — don't mark it interrupted=True
+            # (a restart-until-done wrapper would otherwise loop forever)
+            reason = None if epoch == self.max_epochs - 1 else self._external_stop()
             if reason:
                 # graceful stop (preemption / wall budget): persist the
                 # full resume state even off the state_every_n cadence,
@@ -1021,7 +618,7 @@ class Trainer:
                     self._save_resume_state(params, opt_state, key, epoch)
                 break
 
-        if self._ckpt_mgr:
+        if self._ckpt_mgr and epochs_run > start_epoch:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
             self._save_ema_checkpoint(opt_state, epochs_run - 1)
             # saves are async (background commit thread): fit() returning
@@ -1143,7 +740,10 @@ class Trainer:
                 self._save_resume_state(params, opt_state, key, epochs_run - 1)
             if stop:
                 break
-            reason = self._external_stop()
+            # completed runs are never "interrupted", even if the wall
+            # budget expired during the final chunk (mirrors the K=1 path)
+            reason = (None if epochs_run >= self.max_epochs
+                      else self._external_stop())
             if reason:
                 # graceful stop at chunk granularity: resume state for
                 # this chunk is already saved above
@@ -1153,7 +753,7 @@ class Trainer:
                 )
                 break
 
-        if self._ckpt_mgr:
+        if self._ckpt_mgr and epochs_run > start_epoch:
             self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
             self._save_ema_checkpoint(opt_state, epochs_run - 1)
             # saves are async (background commit thread): fit() returning
@@ -1213,41 +813,10 @@ class Trainer:
         split: str = "test",
         stream_block_rows: Optional[int] = None,
     ) -> dict:
-        """Mean loss metrics over a split. ``stream_block_rows`` evaluates
-        host-resident splits larger than HBM in blocks (exact
-        sample-count weighting; the per-block sample-RNG stream differs
-        from the resident path's single stream, so MC metrics agree in
-        distribution, not bitwise)."""
-        if self.hp_model_fn is not None:
-            raise ValueError(
-                "evaluate needs a concrete model; rebuild one from the "
-                "lane's hparams with a plain Trainer"
-            )
-        x_host = getattr(dm, f"x_{split}")
-        n = int(x_host.shape[0])
-        if stream_block_rows and stream_block_rows < n:
-            m = int(stream_block_rows)
-            key = jax.random.PRNGKey(self.seed + 1)
-            acc, seen = None, 0
-            for start in range(0, n, m):
-                blk = np.asarray(x_host[start : start + m], np.float32)
-                r = len(blk)
-                _, eval_ep = self._epoch_fns(max(r, dm.batch_size), dm.batch_size, r)
-                key, k = jax.random.split(key)
-                ms = jax.device_get(eval_ep(params, self._stage(blk), k))
-                acc = (
-                    {mk: float(v) * r for mk, v in ms.items()}
-                    if acc is None
-                    else {mk: acc[mk] + float(ms[mk]) * r for mk in acc}
-                )
-                seen += r
-            return {f"{split}/{mk}": v / seen for mk, v in acc.items()}
-        x = self._stage(x_host)
-        _, eval_epoch = self._epoch_fns(
-            max(n, dm.batch_size), dm.batch_size, n
-        )
-        ms = jax.device_get(eval_epoch(params, x, jax.random.PRNGKey(self.seed + 1)))
-        return {f"{split}/{k}": float(v) for k, v in ms.items()}
+        """Mean loss metrics over a split (train/evaluation.py)."""
+        from hyperbolic_vae_tpu.train.evaluation import evaluate
+
+        return evaluate(self, dm, params, split, stream_block_rows)
 
     def evaluate_iwae(
         self,
@@ -1258,112 +827,25 @@ class Trainer:
         batch_chunk: int = 256,
         k_chunk: int = 500,
     ) -> float:
-        """Mean K-importance-weighted log p(x) bound over a split — the
-        reference's written follow-up ("report IWAE loss for each model
-        on test set", vae_hyperbolic_gyroplane_decoder.py:37-40), for any
-        model exposing ``iwae(x, k)`` (all VAE families; models/iwae.py).
+        """Mean K-importance-weighted log p(x) bound over a split
+        (train/evaluation.py evaluate_iwae)."""
+        from hyperbolic_vae_tpu.train.evaluation import evaluate_iwae
 
-        Memory-bounded two-axis chunking: the split streams in
-        ``batch_chunk`` rows, K in ``k_chunk`` independent sample chunks
-        recombined EXACTLY via logsumexp (combine_chunked_bounds) —
-        K=5000 at any data width without a (K, B, D) materialization."""
-        from hyperbolic_vae_tpu.models.iwae import combine_chunked_bounds
-
-        if self.hp_model_fn is not None:
-            raise ValueError(
-                "evaluate_iwae needs a concrete model; rebuild one from "
-                "the lane's hparams with a plain Trainer"
-            )
-        x_host = np.asarray(getattr(dm, f"x_{split}"), np.float32)
-        ks = [k_chunk] * (k // k_chunk) + ([k % k_chunk] if k % k_chunk else [])
-        fns = {}  # one compiled program per distinct k chunk size
-
-        def fn_for(kc):
-            if kc not in fns:
-                fns[kc] = jax.jit(
-                    lambda p, xb, key: self.model.apply(
-                        {"params": p}, xb, kc, method="iwae",
-                        rngs={"sample": key},
-                    )
-                )
-            return fns[kc]
-
-        key = jax.random.PRNGKey(self.seed + 2)
-        total, n = 0.0, int(x_host.shape[0])
-        for start in range(0, n, batch_chunk):
-            xb = jnp.asarray(x_host[start : start + batch_chunk])
-            bounds = []
-            for kc in ks:
-                key, sub = jax.random.split(key)
-                bounds.append(fn_for(kc)(params, xb, sub))
-            combined = combine_chunked_bounds(bounds, ks)
-            total += float(jnp.sum(combined))
-        return total / n
+        return evaluate_iwae(self, dm, params, k, split, batch_chunk, k_chunk)
 
     def evaluate_probe(self, dm: ArrayDataModule, params, k: int = 10,
                        train_split: str = "train", eval_split: str = "test",
                        max_train: int = 20000) -> dict:
-        """Latent-space probe accuracies (probe.py): kNN + nearest
-        Fréchet mean under the model's latent metric, on posterior-mean
-        embeddings from the padded encode_split path. ``max_train``
-        bounds the reference set (seeded subsample) so the distance
-        blocks stay MXU-sized at MNIST scale."""
-        from hyperbolic_vae_tpu.probe import knn_accuracy, nearest_mean_accuracy
+        """Latent-space probe accuracies (train/evaluation.py
+        evaluate_probe)."""
+        from hyperbolic_vae_tpu.train.evaluation import evaluate_probe
 
-        z_tr, y_tr = self.encode_split(dm, params, train_split)
-        if len(z_tr) > max_train:
-            idx = np.random.default_rng(self.seed).choice(
-                len(z_tr), max_train, replace=False
-            )
-            z_tr, y_tr = z_tr[idx], np.asarray(y_tr)[idx]
-        z_te, y_te = self.encode_split(dm, params, eval_split)
-        ball = getattr(self.model, "ball", None)
-        return {
-            f"{eval_split}/probe_knn{k}_acc": float(
-                knn_accuracy(z_tr, y_tr, z_te, y_te, ball=ball, k=k)
-            ),
-            f"{eval_split}/probe_nearest_mean_acc": float(
-                nearest_mean_accuracy(z_tr, y_tr, z_te, y_te, ball=ball)
-            ),
-        }
+        return evaluate_probe(self, dm, params, k, train_split, eval_split, max_train)
 
     def encode_split(self, dm: ArrayDataModule, params, split: str = "val",
                      batch_size: Optional[int] = None):
-        """Posterior means for a split (for latent-space visualization).
+        """Posterior means for a split (train/evaluation.py
+        encode_split)."""
+        from hyperbolic_vae_tpu.train.evaluation import encode_split
 
-        Runs through serve.Inferencer's padded fixed-batch path, so the
-        memory high-water mark is one batch of activations — a 50k-row
-        20k-gene split encodes without materializing a single giant
-        apply. The Inferencer (and its compiled programs) is cached on
-        the Trainer; params are swapped in per call."""
-        if self.hp_model_fn is not None:
-            # silently embedding lane params with the REPRESENTATIVE
-            # model's curvature would be wrong for every other lane
-            raise ValueError(
-                "encode_split needs a concrete model; rebuild one from "
-                "the lane's hparams with a plain Trainer"
-            )
-        x = np.asarray(getattr(dm, f"x_{split}"), np.float32)
-        bs = int(batch_size or dm.batch_size)
-        if self.mesh is not None:
-            # match Inferencer's rounding so the cache check agrees: the
-            # serving batch must shard evenly over the 'data' axis even
-            # when the TRAINING batch (gathered in-graph) need not
-            n_data = self.mesh.shape["data"]
-            bs = -(-bs // n_data) * n_data
-        inf = getattr(self, "_encode_inferencer", None)
-        if inf is None or inf.batch_size != bs:
-            from hyperbolic_vae_tpu.serve import Inferencer
-
-            inf = Inferencer(self.model, params, batch_size=bs, mesh=self.mesh)
-            self._encode_inferencer = inf
-        else:
-            if self.mesh is not None:
-                params = jax.device_put(params, replicated(self.mesh))
-            inf.params = params
-        mu = inf.embed(x)
-        # keep the compiled programs cached but release the params (a
-        # replicated copy under a mesh) — otherwise a one-off encode pins
-        # a full parameter tree in HBM for the Trainer's lifetime
-        inf.params = None
-        return np.asarray(mu), np.asarray(getattr(dm, f"y_{split}"))
+        return encode_split(self, dm, params, split, batch_size)
