@@ -183,7 +183,10 @@ class PoincareBall:
         m = _upcast(m)
         sqrt_c = self.sqrt_c
         x_norm = _norm(x)
-        mx = jnp.matmul(x, m.T, preferred_element_type=jnp.float32)
+        mx = jnp.matmul(
+            x, m.T,
+            preferred_element_type=jnp.promote_types(jnp.float32, x.dtype),
+        )
         mx_norm = _norm(mx)
         res = (
             tanh(mx_norm / x_norm * artanh(sqrt_c * x_norm))

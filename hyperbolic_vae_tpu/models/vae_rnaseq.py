@@ -80,15 +80,21 @@ class RNASeqVAE(fnn.Module):
         elif self.recon != "mse":
             raise ValueError(f"recon must be 'mse' or 'nb', got {self.recon!r}")
 
+    def _manifold_dtype(self):
+        """Width of the manifold-facing math: f32 normally (bf16 compute
+        upcasts at the boundary); f64 when compute_dtype is f64 (the
+        multichip-drift anchor leg, __graft_entry__)."""
+        return jnp.promote_types(jnp.float32, jnp.dtype(self.compute_dtype))
+
     def encode(self, x):
-        h = fnn.gelu(self.enc(x.astype(jnp.dtype(self.compute_dtype)))).astype(jnp.float32)
+        h = fnn.gelu(self.enc(x.astype(jnp.dtype(self.compute_dtype)))).astype(self._manifold_dtype())
         mu = self.ball.expmap0(self.mu_head(h))
         scale = jnp.clip(fnn.softplus(self.scale_head(h)) + 1e-3, 1e-3, 10.0)  # floor+cap, see vae_gyroplane
         return mu, scale
 
     def decode(self, z):
         h = fnn.gelu(self.gyroplanes(z))  # manifold-facing layer stays f32
-        h = self.dec_out(h.astype(jnp.dtype(self.compute_dtype))).astype(jnp.float32)
+        h = self.dec_out(h.astype(jnp.dtype(self.compute_dtype))).astype(self._manifold_dtype())
         return fnn.sigmoid(h)
 
     def __call__(self, x):

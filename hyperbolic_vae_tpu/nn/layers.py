@@ -180,11 +180,16 @@ class PoincareHyperplanes(fnn.Module):
             gyroplane_distances_fast,
         )
 
-        if x.ndim == 2 and isinstance(self.ball.c, (int, float)):
+        if (
+            x.ndim == 2
+            and isinstance(self.ball.c, (int, float))
+            and x.dtype != jnp.float64
+        ):
             distance = gyroplane_distances_fast(x, points, self.ball.c, self.signed, None)
         else:
-            # traced curvature (hparam-lane sweeps) or batched ranks: the
-            # pure-jnp path (the Pallas fast path needs a concrete c)
+            # traced curvature (hparam-lane sweeps), batched ranks, or the
+            # f64 drift-anchor leg (__graft_entry__): the pure-jnp path
+            # (the Pallas fast path needs a concrete c and computes f32)
             distance = gyroplane_distances(x, points, self.ball.c, signed=self.signed)
         if self.squared and self.signed:
             distance = jnp.sign(distance) * distance * distance

@@ -95,11 +95,14 @@ def gyroplane_distances(
 ) -> jax.Array:
     """Signed distances from x (..., D) to the gyroplanes through
     ``points`` (P, D) with normals = points. Returns (..., P)."""
-    x = x.astype(jnp.float32)
-    points = points.astype(jnp.float32)
+    # at LEAST f32 (bf16 upcasts, f32 no-op); f64 inputs keep full width
+    # for the multichip-drift anchor leg (__graft_entry__)
+    dt = jnp.promote_types(jnp.float32, jnp.promote_types(x.dtype, points.dtype))
+    x = x.astype(dt)
+    points = points.astype(dt)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # (..., 1)
     p2 = jnp.sum(points * points, axis=-1)  # (P,)
-    xp = jnp.matmul(x, points.T, preferred_element_type=jnp.float32)  # (..., P)
+    xp = jnp.matmul(x, points.T, preferred_element_type=dt)  # (..., P)
     return _epilogue(xp, x2, p2[None, :] if x.ndim > 1 else p2, c, signed, bias)
 
 

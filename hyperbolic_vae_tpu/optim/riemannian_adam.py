@@ -143,7 +143,11 @@ def riemannian_adam(
             # dtype on the way out. No-op for f32 leaves.
             stored = p.dtype
             m_stored = moment_dtype or stored
-            g, p, m, v = (x.astype(jnp.float32) for x in (g, p, m, v))
+            # at LEAST f32: bf16/f16 storage upcasts, f32 is a no-op, and
+            # f64 params (the multichip-drift anchor leg, __graft_entry__)
+            # keep full width instead of being silently truncated
+            compute_dt = jnp.promote_types(jnp.float32, p.dtype)
+            g, p, m, v = (x.astype(compute_dt) for x in (g, p, m, v))
             if weight_decay:
                 g = g + weight_decay * p
             if is_manifold:
