@@ -48,6 +48,11 @@ class HyperbolicImageVAE(fnn.Module):
     loss_recon: str = "mse"  # "mse" | "bernoulli"
     compute_dtype: str = "float32"  # "bfloat16": conv stacks on the MXU in bf16
     # (manifold math, sampling and the loss stay f32 — repo convention)
+    base_channels: int = 16  # conv widths are (m, 2m, 2m); 16 = the
+    # reference's fixed architecture (vae_hyperbolic.py:60-66). Wider
+    # values are the MXU lane-occupancy control arm of
+    # benchmarks/conv_roofline.py (128-lane systolic array vs 16/32-wide
+    # channel contractions).
 
     @property
     def ball(self) -> PoincareBall:
@@ -56,14 +61,15 @@ class HyperbolicImageVAE(fnn.Module):
     @property
     def encoder_out_channels(self) -> int:
         h, w = self.data_shape[0], self.data_shape[1]
-        return 32 * (h // 8) * (w // 8)
+        return 2 * self.base_channels * (h // 8) * (w // 8)
 
     def setup(self):
         ball = self.ball
         dt = jnp.dtype(self.compute_dtype)
-        self.conv1 = fnn.Conv(16, (3, 3), strides=2, padding=1, dtype=dt)
-        self.conv2 = fnn.Conv(32, (3, 3), strides=2, padding=1, dtype=dt)
-        self.conv3 = fnn.Conv(32, (3, 3), strides=2, padding=1, dtype=dt)
+        m = self.base_channels
+        self.conv1 = fnn.Conv(m, (3, 3), strides=2, padding=1, dtype=dt)
+        self.conv2 = fnn.Conv(2 * m, (3, 3), strides=2, padding=1, dtype=dt)
+        self.conv3 = fnn.Conv(2 * m, (3, 3), strides=2, padding=1, dtype=dt)
         if self.encoder_last_layer_module == "linear":
             self.mu_head = fnn.Dense(self.latent_dim, name="mu")
         elif self.encoder_last_layer_module == "mobius":
@@ -88,10 +94,10 @@ class HyperbolicImageVAE(fnn.Module):
             )
         else:
             raise ValueError(d)
-        self.deconv1 = fnn.ConvTranspose(32, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
-        self.conv4 = fnn.Conv(32, (3, 3), padding=1, dtype=dt)
-        self.deconv2 = fnn.ConvTranspose(16, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
-        self.conv5 = fnn.Conv(16, (3, 3), padding=1, dtype=dt)
+        self.deconv1 = fnn.ConvTranspose(2 * m, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
+        self.conv4 = fnn.Conv(2 * m, (3, 3), padding=1, dtype=dt)
+        self.deconv2 = fnn.ConvTranspose(m, (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt)
+        self.conv5 = fnn.Conv(m, (3, 3), padding=1, dtype=dt)
         self.deconv3 = fnn.ConvTranspose(
             self.data_shape[2], (3, 3), strides=(2, 2), padding=CONVT_PADDING, dtype=dt
         )
@@ -114,7 +120,9 @@ class HyperbolicImageVAE(fnn.Module):
     def decode(self, z):
         h8, w8 = self.data_shape[0] // 8, self.data_shape[1] // 8
         h = fnn.gelu(self.dec_first(z))  # manifold-facing layer stays f32
-        h = h.reshape(z.shape[0], h8, w8, 32).astype(jnp.dtype(self.compute_dtype))
+        h = h.reshape(
+            z.shape[0], h8, w8, 2 * self.base_channels
+        ).astype(jnp.dtype(self.compute_dtype))
         h = fnn.gelu(self.deconv1(h))
         h = fnn.gelu(self.conv4(h))
         h = fnn.gelu(self.deconv2(h))

@@ -183,3 +183,18 @@ def test_rnaseq_vae_bf16_compute():
     l32 = m32.apply({"params": p32}, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)})
     rel = abs(float(mtr["loss_total"]) - float(l32["loss_total"])) / abs(float(l32["loss_total"]))
     assert rel < 0.1, rel
+
+
+def test_hyperbolic_image_vae_base_channels():
+    """base_channels widens the conv stack (m, 2m, 2m) — the MXU
+    lane-occupancy control arm of benchmarks/conv_roofline.py. Shapes,
+    loss and grads must stay healthy at non-reference widths, and the
+    encoder flatten width must track 2*m."""
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 1)), jnp.float32)
+    model = HyperbolicImageVAE(data_shape=(32, 32, 1), latent_dim=2, base_channels=32)
+    assert model.encoder_out_channels == 2 * 32 * 4 * 4
+    params, _ = _one_step(model, x)
+    assert params["conv1"]["kernel"].shape[-1] == 32
+    assert params["conv2"]["kernel"].shape[-1] == 64
+    # default stays the reference's fixed 16/32 architecture
+    assert HyperbolicImageVAE(data_shape=(32, 32, 1), latent_dim=2).encoder_out_channels == 512
