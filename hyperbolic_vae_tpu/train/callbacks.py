@@ -94,8 +94,7 @@ class LatentScatterCallback:
     def on_epoch_end(self, trainer, epoch, params, metrics):
         if (epoch + 1) % self.every_n_epochs or self._dm is None:
             return
-        if getattr(trainer.model, "latent_dim", 2) != 2:
-            return
+        latent_dim = getattr(trainer.model, "latent_dim", 2)
         try:
             import matplotlib
 
@@ -104,7 +103,11 @@ class LatentScatterCallback:
         except Exception:
             return
         mu, labels = trainer.encode_split(self._dm, params, "val")
-        mu, labels = mu[: self.max_points], labels[: self.max_points]
+        # latent_dim > 2: scatter the first two posterior-mean coordinates,
+        # exactly like the reference callback (vae_euclidean.py:246-255 plots
+        # (mu_0, mu_1) whatever the latent width). A coordinate slice of a
+        # ball point still lies inside the disk, so the c^-0.5 range holds.
+        mu, labels = mu[: self.max_points, :2], labels[: self.max_points]
         ball = getattr(trainer.model, "ball", None)
         r = self.range_xy or (ball.radius if ball is not None else 4.0)
         fig, ax = plt.subplots(figsize=(6, 6))
@@ -115,7 +118,7 @@ class LatentScatterCallback:
         if ball is not None:
             circle = plt.Circle((0, 0), ball.radius, fill=False, ls="--", color="gray")
             ax.add_patch(circle)
-            if self.annotate_means and len(mu):
+            if self.annotate_means and len(mu) and latent_dim == 2:
                 from hyperbolic_vae_tpu.manifolds import class_means
 
                 uniq = np.unique(labels)

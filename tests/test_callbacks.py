@@ -67,3 +67,20 @@ def test_interpolation_geodesic_endpoints(tmp_path):
     # constant speed: successive hyperbolic distances are equal
     d = np.asarray(model.ball.dist(path[:-1], path[1:]))
     np.testing.assert_allclose(d, d.mean(), rtol=1e-3)
+
+
+def test_latent_scatter_higher_dim(tmp_path):
+    """latent_dim > 2: the scatter plots the first two posterior-mean
+    coordinates (reference vae_euclidean.py:246-255 does the same for any
+    latent width) instead of silently skipping."""
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=5)
+    trainer = Trainer(
+        model,
+        max_epochs=1,
+        early_stopping_patience=None,
+        log_dir=str(tmp_path),
+        callbacks=[LatentScatterCallback(every_n_epochs=1)],
+    )
+    trainer.fit(dm)
+    assert list(Path(tmp_path).glob("posterior_means_*.png")), "no scatter written"
