@@ -115,45 +115,109 @@ def bench_jax() -> float:
     # as device-time/epoch + overhead/K, with K=50 within 2% of the
     # asymptote. Controllers (plateau LR, early stop) run IN-GRAPH, so
     # chunked semantics match K=1 exactly for any K.
-    K = 50
+    #
+    # Variance control (round 4): the chip's throughput phase drifts
+    # run-to-run (CLAUDE.md trap 5: 11.3 vs 14.5 ms/epoch for identical
+    # code hours apart), so one median is not interpretable across
+    # rounds. Timing TWO chunk lengths inside the SAME session separates
+    # t(K) = overhead + K * device_time_per_epoch by slope — the
+    # device-time number is the one chip phase moves, and the dispatch
+    # overhead is the axon-tunnel constant.
     n_val = int(dm.x_val.shape[0])
-    chunk_fn = trainer._chunk_fn(n_train, dm.batch_size, n_val, K)
     x_val = jnp.asarray(dm.x_val)
-    best_params = jax.tree.map(jnp.copy, params)
-    ctrl = trainer._init_ctrl()
-    key, k = jax.random.split(key)
-    params, opt_state, best_params, ctrl, k, tms, vms, _ = chunk_fn(
-        params, opt_state, best_params, ctrl, x_train, x_val, k
-    )
-    float(tms["loss_total"][-1])  # compile + sync
-    ctimes = []
-    for _ in range(3):
-        key, k2 = jax.random.split(key)
-        t0 = time.perf_counter()
-        params, opt_state, best_params, ctrl, k2, tms, vms, _ = chunk_fn(
-            params, opt_state, best_params, ctrl, x_train, x_val, k2
+
+    def time_chunk(K, reps=3):
+        nonlocal key, params, opt_state
+        chunk_fn = trainer._chunk_fn(n_train, dm.batch_size, n_val, K)
+        best_params = jax.tree.map(jnp.copy, params)
+        ctrl = trainer._init_ctrl()
+        key, k = jax.random.split(key)
+        p, o = params, opt_state
+        p, o, best_params, ctrl, k, tms, vms, _ = chunk_fn(
+            p, o, best_params, ctrl, x_train, x_val, k
         )
-        float(tms["loss_total"][-1])
-        ctimes.append(time.perf_counter() - t0)
-    ctimes.sort()
-    cdt = ctimes[len(ctimes) // 2] / K
-    print(f"chunked (K={K}) per-epoch: {cdt*1e3:.1f} ms", file=sys.stderr)
+        float(tms["loss_total"][-1])  # compile + sync
+        ts = []
+        for _ in range(reps):
+            key, k2 = jax.random.split(key)
+            t0 = time.perf_counter()
+            p, o, best_params, ctrl, k2, tms, vms, _ = chunk_fn(
+                p, o, best_params, ctrl, x_train, x_val, k2
+            )
+            float(tms["loss_total"][-1])
+            ts.append(time.perf_counter() - t0)
+        # params/opt were donated into the chunk program — carry forward
+        params, opt_state = p, o
+        ts.sort()
+        return ts  # sorted: [min, median, ...]
+
+    K_SMALL, K = 10, 50
+    t_small = time_chunk(K_SMALL)
+    t_big = time_chunk(K)
+    med_small, med_big = t_small[len(t_small) // 2], t_big[len(t_big) // 2]
+    device_s_per_epoch = (med_big - med_small) / (K - K_SMALL)
+    overhead_s = med_small - K_SMALL * device_s_per_epoch
+    cdt = med_big / K
+    cdt_min = t_big[0] / K
+    print(
+        f"chunked per-epoch: K={K_SMALL} {[round(t,4) for t in t_small]} s, "
+        f"K={K} {[round(t,4) for t in t_big]} s -> median {cdt*1e3:.1f} "
+        f"ms/epoch (min {cdt_min*1e3:.1f}); device {device_s_per_epoch*1e3:.1f} "
+        f"ms/epoch + {overhead_s*1e3:.1f} ms/dispatch overhead",
+        file=sys.stderr,
+    )
     chunked = steps * dm.batch_size / cdt / n_chips
-    return per_epoch_dispatch, chunked, K
+    chunked_min_t = steps * dm.batch_size / cdt_min / n_chips
+    return {
+        "per_epoch_dispatch": per_epoch_dispatch,
+        "chunked": chunked,
+        "chunked_best": chunked_min_t,
+        "K": K,
+        "device_ms_per_epoch": device_s_per_epoch * 1e3,
+        "dispatch_overhead_ms": overhead_s * 1e3,
+    }
+
+
+def chip_phase_control(current_single_dispatch: float):
+    """Ratio of this session's K=1 full-epoch dispatch throughput to the
+    most recent recorded round's — same code path every round, so the
+    ratio isolates chip phase (trap 5) from code changes when comparing
+    BENCH_r{N}.json across rounds."""
+    import re
+
+    rounds = sorted(
+        REPO_ROOT.glob("BENCH_r*.json"),
+        key=lambda p: int(re.findall(r"\d+", p.stem)[0]),
+    )
+    if not rounds:
+        return None
+    prior = json.loads(rounds[-1].read_text()).get("parsed", {})
+    prev = prior.get("value_single_dispatch")
+    if not prev:
+        return None
+    return {
+        "prior_round": rounds[-1].stem,
+        "prior_single_dispatch": prev,
+        "ratio": round(current_single_dispatch / prev, 3),
+    }
 
 
 def main():
-    per_epoch_dispatch, chunked, k = bench_jax()
+    r = bench_jax()
     baseline = get_torch_baseline()
     print(
         json.dumps(
             {
                 "metric": "mnist_gyroplane_vae_train_throughput",
-                "value": round(chunked, 1),
+                "value": round(r["chunked"], 1),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(chunked / baseline, 2),
-                "epochs_per_dispatch": k,
-                "value_single_dispatch": round(per_epoch_dispatch, 1),
+                "vs_baseline": round(r["chunked"] / baseline, 2),
+                "epochs_per_dispatch": r["K"],
+                "value_single_dispatch": round(r["per_epoch_dispatch"], 1),
+                "value_best_dispatch_group": round(r["chunked_best"], 1),
+                "device_ms_per_epoch": round(r["device_ms_per_epoch"], 2),
+                "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 2),
+                "chip_phase_control": chip_phase_control(r["per_epoch_dispatch"]),
             }
         )
     )
