@@ -66,15 +66,16 @@ def euclidean_vae_layers(hidden: int, shape=(32, 32, 3)):
     ]
 
 
-def hyperbolic_image_vae_layers(shape=(32, 32, 3)):
-    """models/vae_hyperbolic.py conv stack (fixed 16/32 channels)."""
+def hyperbolic_image_vae_layers(shape=(32, 32, 3), m=16):
+    """models/vae_hyperbolic.py conv stack at base_channels=m (the
+    reference's fixed width is m=16; conv_roofline.py sweeps m)."""
     H, W, C = shape
     return [
-        (H // 2, W // 2, 16, C, K_CONV), (H // 4, W // 4, 32, 16, K_CONV),
-        (H // 8, W // 8, 32, 32, K_CONV),
-        (H // 4, W // 4, 32, 32, K_CONVT_S2), (H // 4, W // 4, 32, 32, K_CONV),
-        (H // 2, W // 2, 16, 32, K_CONVT_S2), (H // 2, W // 2, 16, 16, K_CONV),
-        (H, W, C, 16, K_CONVT_S2),
+        (H // 2, W // 2, m, C, K_CONV), (H // 4, W // 4, 2 * m, m, K_CONV),
+        (H // 8, W // 8, 2 * m, 2 * m, K_CONV),
+        (H // 4, W // 4, 2 * m, 2 * m, K_CONVT_S2), (H // 4, W // 4, 2 * m, 2 * m, K_CONV),
+        (H // 2, W // 2, m, 2 * m, K_CONVT_S2), (H // 2, W // 2, m, m, K_CONV),
+        (H, W, C, m, K_CONVT_S2),
     ]
 
 

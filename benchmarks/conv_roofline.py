@@ -40,19 +40,10 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-from benchmarks.bench_conv import K_CONV, K_CONVT_S2, flops_per_sample_fwd
-
-
-def hyperbolic_layers_width(m: int, shape=(32, 32, 3)):
-    """models/vae_hyperbolic.py conv stack at base_channels=m."""
-    H, W, C = shape
-    return [
-        (H // 2, W // 2, m, C, K_CONV), (H // 4, W // 4, 2 * m, m, K_CONV),
-        (H // 8, W // 8, 2 * m, 2 * m, K_CONV),
-        (H // 4, W // 4, 2 * m, 2 * m, K_CONVT_S2), (H // 4, W // 4, 2 * m, 2 * m, K_CONV),
-        (H // 2, W // 2, m, 2 * m, K_CONVT_S2), (H // 2, W // 2, m, m, K_CONV),
-        (H, W, C, m, K_CONVT_S2),
-    ]
+from benchmarks.bench_conv import (
+    flops_per_sample_fwd,
+    hyperbolic_image_vae_layers,
+)
 
 
 def build_epoch_fn(model, n, batch, mode, lr=1e-3):
@@ -110,23 +101,22 @@ def build_epoch_fn(model, n, batch, mode, lr=1e-3):
 
 
 def time_epoch(fn, make_state, xd, iters=5):
+    """Median synchronized wall time of the donated whole-epoch program
+    (state threading in the closure; loop semantics in _timing)."""
     import jax
 
-    params, opt_state = make_state()
-    key = jax.random.PRNGKey(0)
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = fn(params, opt_state, xd, k)
+    from benchmarks._timing import timed_reps
+
+    state = {"po": make_state(), "key": jax.random.PRNGKey(0), "loss": None}
+
+    def step():
+        state["key"], k = jax.random.split(state["key"])
+        params, opt_state, loss = fn(*state["po"], xd, k)
         float(loss)  # axon sync (block_until_ready returns at enqueue)
-    times = []
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        t0 = time.perf_counter()
-        params, opt_state, loss = fn(params, opt_state, xd, k)
-        float(loss)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2], float(loss)
+        state["po"], state["loss"] = (params, opt_state), loss
+
+    ts = timed_reps(step, warmup=2, reps=iters)
+    return ts[len(ts) // 2], float(state["loss"])
 
 
 def main():
@@ -231,7 +221,7 @@ def main():
     widths = {}
     for m in args.widths:
         model = make_model(m=m)
-        fwd_flops = flops_per_sample_fwd(hyperbolic_layers_width(m, shape))
+        fwd_flops = flops_per_sample_fwd(hyperbolic_image_vae_layers(shape, m))
         fn, steps = build_epoch_fn(model, n, B, "full")
         dt, _ = time_epoch(fn, state_for(model), xd)
         train_tflops = 3 * fwd_flops * steps * B / dt / 1e12

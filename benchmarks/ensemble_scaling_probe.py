@@ -128,7 +128,9 @@ def main():
     # --- shared-stream variant: vmap with the RNG key SHARED across lanes
     # (in_axes=None -> every lane sees the same shuffle offsets AND the
     # same sampling noise; data slicing collapses to ONE dynamic_slice)
-    body = trainer._chunk_body_cache[(N_TRAIN, BS, N_VAL, K)]
+    body = trainer._chunk_body_cache[
+        (N_TRAIN, BS, N_VAL, K, trainer.lr_schedule)
+    ]
     for s in (8,):
         fn = jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, None)))
         st = states(s)

@@ -103,6 +103,8 @@ class LatentScatterCallback:
         except Exception:
             return
         mu, labels = trainer.encode_split(self._dm, params, "val")
+        if mu.shape[-1] < 2:  # a 1-D latent has no plane to scatter on
+            return
         # latent_dim > 2: scatter the first two posterior-mean coordinates,
         # exactly like the reference callback (vae_euclidean.py:246-255 plots
         # (mu_0, mu_1) whatever the latent width). A coordinate slice of a

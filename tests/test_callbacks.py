@@ -84,3 +84,19 @@ def test_latent_scatter_higher_dim(tmp_path):
     )
     trainer.fit(dm)
     assert list(Path(tmp_path).glob("posterior_means_*.png")), "no scatter written"
+
+
+def test_latent_scatter_1d_skips(tmp_path):
+    """latent_dim == 1: no plane to scatter on — the callback must skip
+    (not crash the fit) exactly like the pre-round-4 non-2-D early return."""
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=256, n_test=64)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=1)
+    trainer = Trainer(
+        model,
+        max_epochs=1,
+        early_stopping_patience=None,
+        log_dir=str(tmp_path),
+        callbacks=[LatentScatterCallback(every_n_epochs=1)],
+    )
+    trainer.fit(dm)  # must complete without IndexError
+    assert not list(Path(tmp_path).glob("posterior_means_*.png"))
