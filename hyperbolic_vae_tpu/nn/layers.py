@@ -145,10 +145,10 @@ class PoincareHyperplanes(fnn.Module):
     it mirrors (used by the flagship script _6 decoder,
     vae_hyperbolic_gyroplane_decoder.py:70-74).
 
-    The distance over many planes is the decoder's hot op; it is a
-    batched (B, 1, D) x (P, D) broadcast that XLA fuses into a single
-    VPU kernel; a Pallas fusion for large P lives in
-    hyperbolic_vae_tpu.ops.gyroplane.
+    The distance over many planes is the decoder's hot op; the analytic
+    MXU formulation (one matmul + fused epilogue) lives in
+    hyperbolic_vae_tpu.ops.gyroplane, alongside an opt-in Pallas kernel
+    (measured slower at this framework's shapes — GYRO_DISPATCH.json).
     """
 
     plane_shape: int
@@ -173,8 +173,9 @@ class PoincareHyperplanes(fnn.Module):
             "mp_points", init_points, (self.num_planes, self.plane_shape)
         )
         # fused formulation: one MXU matmul instead of a (..., P, D)
-        # Mobius-difference intermediate; for large 2-D (B, P) work the
-        # forward lowers to the Pallas kernel (ops/gyroplane.py)
+        # Mobius-difference intermediate; the XLA-fused jnp epilogue is
+        # the measured-fastest dispatch at every shape (ops/gyroplane.py
+        # dispatch note, benchmarks/GYRO_DISPATCH.json)
         from hyperbolic_vae_tpu.ops.gyroplane import (
             gyroplane_distances,
             gyroplane_distances_fast,

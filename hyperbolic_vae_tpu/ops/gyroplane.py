@@ -17,10 +17,13 @@ This turns an O(B P D)-memory VPU computation into a (B,D)x(D,P) matmul
 plus O(B P) elementwise — the MXU formulation. Two implementations:
 
   * ``gyroplane_distances``: pure jnp (XLA fuses the elementwise tail
-    into the matmul epilogue). Default everywhere.
-  * ``gyroplane_distances_pallas``: a tiled Pallas TPU kernel for large
-    (B, P) that keeps the |x|^2 / |p|^2 row/col stats in VMEM and fuses
-    the epilogue explicitly. Falls back to interpret mode off-TPU.
+    into the matmul epilogue). Default everywhere — measured faster
+    than the kernel at every (B, P) at this framework's small D
+    (benchmarks/GYRO_DISPATCH.json; see the dispatch note below).
+  * ``gyroplane_distances_pallas``: a tiled Pallas TPU kernel that
+    keeps the |x|^2 / |p|^2 row/col stats in VMEM and fuses the
+    epilogue explicitly. Falls back to interpret mode off-TPU. Kept as
+    an explicitly-requested option (HVT_GYRO_PALLAS_MIN_WORK).
 
 Both match the reference formula (manifolds.py:41-65 with a = p) to
 float tolerance; see tests/test_ops.py.
@@ -30,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,12 +111,24 @@ def gyroplane_distances(
 
 
 # ---------------------------------------------------------------------- #
-# Differentiable auto-dispatch: Pallas forward for large (B, P), jnp
-# backward through the same analytic epilogue (Pallas kernels have no
-# automatic VJP; the backward here is two matmuls + the epilogue VJP,
-# which XLA fuses well on its own).
+# Differentiable dispatch. Default: the jnp analytic epilogue at EVERY
+# shape — measured on the real chip (benchmarks/GYRO_DISPATCH.json,
+# round 4), the Pallas forward loses everywhere at the small D this
+# framework uses (latent_dim 2-10): full RNASeqVAE train step 32.3 vs
+# 31.0 ms/epoch, full conv-VAE step 42.9 vs 30.2 ms/epoch
+# (CONV_ROOFLINE.json), and the standalone-op gap WIDENS with size
+# (B=8192, P=2048, D=2: fwd 66.6 ms Pallas vs 33.3 ms jnp). The op is
+# epilogue/bandwidth-bound at small D: XLA fuses the jnp epilogue into
+# neighboring kernels, while the Pallas call is a fusion barrier plus
+# its own dispatch. The kernel stays available (tests force it via
+# _PALLAS_MIN_WORK; HVT_GYRO_PALLAS_MIN_WORK=<B*P> re-enables the old
+# auto-dispatch for future hardware where the trade flips). The
+# backward is always jnp: two matmuls + the epilogue VJP, which XLA
+# fuses well on its own (Pallas kernels have no automatic VJP).
 
-_PALLAS_MIN_WORK = 256 * 256  # B*P below this: dispatch overhead dominates
+_PALLAS_MIN_WORK = int(
+    os.environ.get("HVT_GYRO_PALLAS_MIN_WORK", 1 << 62)  # default: never
+)
 
 
 def _dist_from_stats(x, points, c, signed, bias):
@@ -124,8 +140,12 @@ def _dist_from_stats(x, points, c, signed, bias):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gyroplane_distances_fast(x, points, c: float, signed: bool = True, bias=None):
-    """Like gyroplane_distances for 2-D x, but lowers the forward to the
-    Pallas kernel when the (B, P) tile is large enough to amortize it."""
+    """Like gyroplane_distances for 2-D x, with a custom VJP (the
+    backward never re-materializes the forward's intermediates). The
+    forward lowers to the Pallas kernel only when B*P >= the
+    HVT_GYRO_PALLAS_MIN_WORK opt-in threshold (default: never — the
+    XLA-fused jnp epilogue measured faster at every shape at small D,
+    benchmarks/GYRO_DISPATCH.json)."""
     B, P = x.shape[0], points.shape[0]
     if B * P >= _PALLAS_MIN_WORK and not _interpret_mode():
         return gyroplane_distances_pallas(x, points, c, signed=signed, bias=bias)

@@ -102,6 +102,30 @@ def test_fast_dispatch_no_bias_grads():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4, atol=1e-6)
 
 
+def test_default_dispatch_never_pallas(monkeypatch):
+    """The measured dispatch default (round 4, benchmarks/GYRO_DISPATCH.json):
+    the XLA-fused jnp epilogue at EVERY shape — the Pallas forward is
+    opt-in only (HVT_GYRO_PALLAS_MIN_WORK). Even a large (B, P) must not
+    reach the kernel by default."""
+    from hyperbolic_vae_tpu.ops import gyroplane as g
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas forward reached under default dispatch")
+
+    monkeypatch.setattr(g, "gyroplane_distances_pallas", boom)
+    ball = PoincareBall(c=1.0)
+    x = _interior_points(jax.random.PRNGKey(20), 512, 2, ball)
+    pts = _interior_points(jax.random.PRNGKey(21), 512, 2, ball)
+    out = g.gyroplane_distances_fast(x, pts, 1.0, True, None)
+    assert out.shape == (512, 512)
+    # the opt-in threshold still routes to the kernel (on a TPU backend;
+    # off-TPU the dispatch always stays jnp, so fake the backend check)
+    monkeypatch.setattr(g, "_PALLAS_MIN_WORK", 0)
+    monkeypatch.setattr(g, "_interpret_mode", lambda: False)
+    with pytest.raises(AssertionError, match="Pallas forward reached"):
+        g.gyroplane_distances_fast(x, pts, 1.0, True, None)
+
+
 def test_interpret_mode_tracks_current_backend(monkeypatch):
     """Pallas interpret-vs-TPU dispatch must follow the CURRENT backend,
     not a first-call cache (round-1 VERDICT weak #6: a process flipping
