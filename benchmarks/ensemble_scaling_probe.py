@@ -129,7 +129,7 @@ def main():
     # (in_axes=None -> every lane sees the same shuffle offsets AND the
     # same sampling noise; data slicing collapses to ONE dynamic_slice)
     body = trainer._chunk_body_cache[
-        (N_TRAIN, BS, N_VAL, K, trainer.lr_schedule)
+        trainer._chunk_cache_key(N_TRAIN, BS, N_VAL, K)
     ]
     for s in (8,):
         fn = jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, None)))

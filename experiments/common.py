@@ -56,6 +56,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="linear LR warmup epochs for --lr-schedule",
     )
     p.add_argument(
+        "--beta-warmup-epochs", type=int, default=0,
+        help="KL annealing: ramp the model's beta linearly from 0 to its"
+        " configured value over this many epochs (in-graph for chunked"
+        " fits; optim/schedules.beta_warmup_schedule) — the standard cure"
+        " for the posterior collapse the reference's constant-beta"
+        " headline figures exhibit (figures/README.md)",
+    )
+    p.add_argument(
         "--grad-accum", type=int, default=1,
         help="A>1: accumulate gradients over A microbatches per optimizer"
         " step (effective batch stays --batch-size; activation memory"
@@ -90,9 +98,10 @@ def setup(args, name: str) -> Path:
     return run_dir
 
 
-def trainer_extra(args) -> dict:
+def trainer_extra(args, model=None) -> dict:
     """Trainer kwargs driven by common CLI flags (experiments splat this
-    into their Trainer(...) call)."""
+    into their Trainer(...) call). Pass the constructed ``model`` so
+    --beta-warmup-epochs can ramp to ITS configured beta."""
     extra = {
         "epochs_per_dispatch": getattr(args, "epochs_per_dispatch", 1),
         "moment_dtype": getattr(args, "moment_dtype", None),
@@ -100,6 +109,18 @@ def trainer_extra(args) -> dict:
         "grad_accum_steps": getattr(args, "grad_accum", 1),
         "grad_clip_norm": getattr(args, "grad_clip_norm", None),
     }
+    beta_warmup = getattr(args, "beta_warmup_epochs", 0)
+    if beta_warmup:
+        if model is None or not hasattr(model, "beta"):
+            raise SystemExit(
+                "--beta-warmup-epochs needs a model with a beta attribute "
+                "(this experiment does not pass its model to trainer_extra)"
+            )
+        from hyperbolic_vae_tpu.optim.schedules import beta_warmup_schedule
+
+        extra["beta_schedule"] = beta_warmup_schedule(
+            float(model.beta), warmup_epochs=beta_warmup
+        )
     name = getattr(args, "lr_schedule", None)
     if name == "cosine":
         from hyperbolic_vae_tpu.optim.schedules import cosine_schedule

@@ -35,7 +35,7 @@ if __name__ == "__main__":
         checkpoint_dir=str(run_dir / "ckpt"),
         callbacks=[GenerateCallback(every_n_epochs=10), LatentScatterCallback(every_n_epochs=10)],
         use_mesh=args.use_mesh,
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

@@ -53,7 +53,7 @@ if __name__ == "__main__":
             LatentScatterCallback(every_n_epochs=10, range_xy=4.0),
         ],
         use_mesh=args.use_mesh,
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     result = trainer.fit(dm)
     print("test:", trainer.evaluate(dm, result.best_params, "test"))

@@ -55,7 +55,7 @@ if __name__ == "__main__":
             LatentScatterCallback(every_n_epochs=10),
         ],
         use_mesh=args.use_mesh,
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     result = trainer.fit(dm)
     best = trainer._ckpt_mgr.restore("best", like=result.params)

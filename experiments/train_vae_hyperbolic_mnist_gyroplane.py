@@ -44,7 +44,7 @@ def train_seed_sweep(args, run_dir, latent_dim: int):
         max_epochs=args.epochs,
         early_stopping_patience=None if args.no_early_stopping else 10,
         log_dir=str(run_dir),
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     if args.use_mesh:
         raise SystemExit(
@@ -94,7 +94,7 @@ def train_latent_dim(args, run_dir, latent_dim: int):
             LatentInterpolationCallback(every_n_epochs=10),  # class-to-class geodesics
         ],
         use_mesh=args.use_mesh,
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     result = trainer.fit(dm)
     print(f"epochs={result.epochs_run} best {trainer.monitor}={result.best_metric:.4f} "

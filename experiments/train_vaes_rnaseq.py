@@ -106,7 +106,7 @@ if __name__ == "__main__":
         use_mesh=args.use_mesh and mesh is None,
         mesh=mesh,
         param_sharding_fn=param_sharding_fn,
-        **trainer_extra(args),
+        **trainer_extra(args, model),
     )
     if args.stream_block_rows:
         result = trainer.fit_streamed(dm, block_rows=args.stream_block_rows)

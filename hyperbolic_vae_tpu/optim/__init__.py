@@ -7,6 +7,7 @@ from hyperbolic_vae_tpu.optim.riemannian_adam import (
 from hyperbolic_vae_tpu.optim.schedules import (
     EarlyStopping,
     ReduceLROnPlateau,
+    beta_warmup_schedule,
     cosine_schedule,
     exponential_schedule,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "manifold_label_tree",
     "ReduceLROnPlateau",
     "EarlyStopping",
+    "beta_warmup_schedule",
     "cosine_schedule",
     "exponential_schedule",
 ]

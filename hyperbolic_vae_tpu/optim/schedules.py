@@ -117,6 +117,33 @@ def cosine_schedule(base_lr: float, total_epochs: int, warmup_epochs: int = 0,
     return fn
 
 
+def beta_warmup_schedule(beta_end: float, warmup_epochs: int,
+                         beta_start: float = 0.0):
+    """KL-annealing schedule: beta ramps linearly from ``beta_start`` to
+    ``beta_end`` over ``warmup_epochs`` epochs, then stays at beta_end.
+
+    The standard cure for VAE posterior collapse (Bowman et al. 2016):
+    the reference's RelaxedBernoulli conv-hyperbolic, gyroplane-MNIST
+    and Jerby-Arnon headline figures are all posterior-collapsed at
+    constant beta (/root/reference/figures/, see figures/README.md) —
+    warming the KL weight in lets the decoder latch onto the latent
+    before the prior term can zero it out. f32 jnp-traceable
+    ``fn(epoch) -> beta`` for Trainer(beta_schedule=...): the SAME
+    callable evaluates host-side (K=1) and in-graph (chunked), so
+    any epochs_per_dispatch is bit-identical to K=1."""
+    import jax.numpy as jnp
+
+    b0, b1 = jnp.float32(beta_start), jnp.float32(beta_end)
+    w = jnp.float32(warmup_epochs)
+
+    def fn(epoch):
+        e = jnp.asarray(epoch, jnp.float32)
+        t = jnp.clip(e / jnp.maximum(w, 1.0), 0.0, 1.0)
+        return (b0 + (b1 - b0) * t).astype(jnp.float32)
+
+    return fn
+
+
 def exponential_schedule(base_lr: float, gamma: float, min_lr: float = 0.0,
                          warmup_epochs: int = 0):
     """Linear warmup then base_lr * gamma^(epoch - warmup), floored at

@@ -62,14 +62,26 @@ def build_chunk_body(trainer, train_body, eval_full, k: int):
     es_patience = trainer._early_patience or 0
     es_min_delta = trainer.early_stopping.min_delta if es_enabled else 0.0
     lr_schedule = trainer.lr_schedule
+    hp_schedule = trainer.hp_schedule
 
     def chunk(params, opt_state, best_params, ctrl, x_train, x_val, key, hp=None):
+        def hp_at(epoch, static_hp):
+            """Merge the epoch-indexed schedule over the static/per-lane
+            hp dict (scheduled keys win; same f32 callable as the K=1
+            host loop, so chunked histories stay bit-identical)."""
+            if hp_schedule is None:
+                return static_hp
+            return {**(static_hp or {}), **hp_schedule(epoch)}
+
+        # shapes don't depend on the schedule's values; a fixed-epoch
+        # evaluation gives eval_shape the right hp structure
+        hp0 = hp_at(jnp.zeros((), jnp.int32), hp)
         # abstract-eval (no FLOPs) the metric pytree structures so the
         # skip branch of the cond can emit NaN rows of matching shape
         tms_shape = jax.eval_shape(
-            lambda p, o, kk: train_body(p, o, x_train, kk, hp)[2], params, opt_state, key
+            lambda p, o, kk: train_body(p, o, x_train, kk, hp0)[2], params, opt_state, key
         )
-        vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk, hp), params, key)
+        vms_shape = jax.eval_shape(lambda p, kk: eval_full(p, x_val, kk, hp0), params, key)
         nan_of = lambda tree: jax.tree.map(
             lambda s: jnp.full(s.shape, jnp.nan, s.dtype), tree
         )
@@ -85,6 +97,8 @@ def build_chunk_body(trainer, train_body, eval_full, k: int):
             else:
                 lr_used = ctrl["pl_lr"]
 
+            hp_epoch = hp_at(ctrl["epoch"], hp)
+
             def do_epoch(args):
                 params, opt_state, ek, vk, lr = args
                 # in-graph LR injection: same mechanism as the K=1
@@ -92,8 +106,10 @@ def build_chunk_body(trainer, train_body, eval_full, k: int):
                 opt_state = opt_state._replace(
                     hyperparams=dict(opt_state.hyperparams, learning_rate=lr)
                 )
-                params, opt_state, tms = train_body(params, opt_state, x_train, ek, hp)
-                vms = eval_full(params, x_val, vk, hp)
+                params, opt_state, tms = train_body(
+                    params, opt_state, x_train, ek, hp_epoch
+                )
+                vms = eval_full(params, x_val, vk, hp_epoch)
                 return params, opt_state, tms, vms
 
             def skip_epoch(args):

@@ -76,11 +76,12 @@ def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int,
     cache = getattr(trainer, "_ens_fn_cache", None)
     if cache is None:
         cache = trainer._ens_fn_cache = {}
-    key = (n_train, batch_size, n_val, k, n_seeds, hp_keys, trainer.lr_schedule)
+    key = (n_train, batch_size, n_val, k, n_seeds, hp_keys,
+           trainer.lr_schedule, trainer.hp_schedule)
     if key not in cache:
         trainer._chunk_fn(n_train, batch_size, n_val, k)  # fills the body cache
         body = trainer._chunk_body_cache[
-            (n_train, batch_size, n_val, k, trainer.lr_schedule)
+            trainer._chunk_cache_key(n_train, batch_size, n_val, k)
         ]
         hp_axes = None if hp_keys is None else {name: 0 for name in hp_keys}
         cache[key] = jax.jit(
@@ -138,7 +139,9 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         hp_keys = tuple(sorted(lane_hparams[0]))
         if any(tuple(sorted(h)) != hp_keys for h in lane_hparams):
             raise ValueError("every lane must carry the same hparam keys")
-    elif trainer.hp_model_fn is not None:
+    elif trainer.hp_model_fn is not None and trainer.hp_schedule is None:
+        # the scheduled single-model path (beta_schedule) needs no lane
+        # hparams — the chunk body merges hp_schedule(epoch) in-graph
         raise ValueError("hp_model_fn trainers need lane_hparams (fit_lane_sweep)")
     if lane_lrs is not None and len(lane_lrs) != n_seeds:
         raise ValueError("need one lr per lane")

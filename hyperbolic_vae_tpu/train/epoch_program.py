@@ -10,8 +10,8 @@ returns ``(train_epoch_jit, eval_epoch, train_body, eval_full)`` where
 
   * ``train_epoch_jit(params, opt_state, x_all, key)`` — the jitted
     whole-epoch training program (donates params/opt_state),
-  * ``eval_epoch(params, x_all, key)`` — host-callable full-split eval
-    (jitted main scan + tail fold),
+  * ``eval_epoch(params, x_all, key, hp=None)`` — host-callable
+    full-split eval (jitted main scan + tail fold),
   * ``train_body`` / ``eval_full`` — the UNJITTED bodies with an extra
     trailing ``hp`` arg, the building blocks the chunk program
     (chunk_program.py) and vmapped ensembles (ensemble.py) trace inline.
@@ -208,15 +208,15 @@ def build_epoch_fns(trainer, n_train: int, batch_size: int, n_val: int):
     eval_tail_jit = jax.jit(loss_metrics) if eval_rem else None
     mesh = trainer.mesh
 
-    def eval_epoch(params, x_all, key):
+    def eval_epoch(params, x_all, key, hp=None):
         k_main, k_tail = jax.random.split(key)
-        ms = eval_scan_jit(params, x_all, k_main)
+        ms = eval_scan_jit(params, x_all, k_main, hp)
         if eval_rem:
             start = eval_steps * eval_batch
             x_tail = x_all[start : start + eval_rem]
             if mesh is not None:
                 x_tail = jax.device_put(x_tail, replicated(mesh))
-            tm = eval_tail_jit(params, x_tail, k_tail, None)
+            tm = eval_tail_jit(params, x_tail, k_tail, hp)
             w_main = (eval_steps * eval_batch) / n_val
             w_tail = eval_rem / n_val
             ms = jax.tree.map(lambda a, b: a * w_main + b * w_tail, ms, tm)

@@ -23,11 +23,17 @@ def evaluate(trainer, dm: ArrayDataModule, params, split: str = "test",
     sample-count weighting; the per-block sample-RNG stream differs
     from the resident path's single stream, so MC metrics agree in
     distribution, not bitwise)."""
+    hp_eval = None
     if trainer.hp_model_fn is not None:
-        raise ValueError(
-            "evaluate needs a concrete model; rebuild one from the "
-            "lane's hparams with a plain Trainer"
-        )
+        if trainer.hp_schedule is None:
+            raise ValueError(
+                "evaluate needs a concrete model; rebuild one from the "
+                "lane's hparams with a plain Trainer"
+            )
+        # scheduled single-model path (e.g. beta_schedule): evaluate at
+        # the schedule's END state — after a completed warmup this is the
+        # model's own configured value
+        hp_eval = trainer.hp_schedule(jnp.asarray(trainer.max_epochs, jnp.int32))
     x_host = getattr(dm, f"x_{split}")
     n = int(x_host.shape[0])
     if stream_block_rows and stream_block_rows < n:
@@ -39,7 +45,7 @@ def evaluate(trainer, dm: ArrayDataModule, params, split: str = "test",
             r = len(blk)
             _, eval_ep = trainer._epoch_fns(max(r, dm.batch_size), dm.batch_size, r)
             key, k = jax.random.split(key)
-            ms = jax.device_get(eval_ep(params, trainer._stage(blk), k))
+            ms = jax.device_get(eval_ep(params, trainer._stage(blk), k, hp_eval))
             acc = (
                 {mk: float(v) * r for mk, v in ms.items()}
                 if acc is None
@@ -51,7 +57,9 @@ def evaluate(trainer, dm: ArrayDataModule, params, split: str = "test",
     _, eval_epoch = trainer._epoch_fns(
         max(n, dm.batch_size), dm.batch_size, n
     )
-    ms = jax.device_get(eval_epoch(params, x, jax.random.PRNGKey(trainer.seed + 1)))
+    ms = jax.device_get(
+        eval_epoch(params, x, jax.random.PRNGKey(trainer.seed + 1), hp_eval)
+    )
     return {f"{split}/{k}": float(v) for k, v in ms.items()}
 
 
@@ -69,7 +77,9 @@ def evaluate_iwae(trainer, dm: ArrayDataModule, params, k: int = 5000,
     K=5000 at any data width without a (K, B, D) materialization."""
     from hyperbolic_vae_tpu.models.iwae import combine_chunked_bounds
 
-    if trainer.hp_model_fn is not None:
+    if trainer.hp_model_fn is not None and trainer.hp_schedule is None:
+        # lane mode. The SCHEDULED single-model path (beta_schedule) is
+        # fine with the static model: the IWAE bound has no beta in it.
         raise ValueError(
             "evaluate_iwae needs a concrete model; rebuild one from "
             "the lane's hparams with a plain Trainer"
@@ -138,9 +148,11 @@ def encode_split(trainer, dm: ArrayDataModule, params, split: str = "val",
     20k-gene split encodes without materializing a single giant
     apply. The Inferencer (and its compiled programs) is cached on
     the Trainer; params are swapped in per call."""
-    if trainer.hp_model_fn is not None:
-        # silently embedding lane params with the REPRESENTATIVE
-        # model's curvature would be wrong for every other lane
+    if trainer.hp_model_fn is not None and trainer.hp_schedule is None:
+        # lane mode: silently embedding lane params with the
+        # REPRESENTATIVE model's curvature would be wrong for every
+        # other lane. The scheduled single-model path (beta_schedule)
+        # encodes with the static model — encode has no beta in it.
         raise ValueError(
             "encode_split needs a concrete model; rebuild one from "
             "the lane's hparams with a plain Trainer"

@@ -98,6 +98,8 @@ class Trainer:
         param_sharding_fn=None,  # optional fn(params, mesh) -> sharding pytree (tensor parallelism)
         moment_dtype: Optional[str] = None,  # Adam moment STORAGE dtype (e.g. 'bfloat16'); None = follow params
         hp_model_fn=None,  # optional fn(hp dict of scalars) -> flax model: hyperparameter-LANE sweeps (fit_lane_sweep)
+        hp_schedule=None,  # optional jnp-traceable fn(epoch) -> dict of scalars fed to hp_model_fn per epoch (in-graph for chunked fits); scheduled keys override per-lane hp
+        beta_schedule=None,  # optional jnp-traceable fn(epoch) -> beta (optim/schedules.py beta_warmup_schedule): KL annealing for any model with a ``beta`` attribute; sugar for hp_model_fn=model.clone + hp_schedule
         ema_decay: Optional[float] = None,  # parameter EMA (Polyak averaging) tracked in the optimizer state
         lr_schedule=None,  # optional jnp-traceable fn(epoch) -> lr (optim/schedules.py cosine_schedule/exponential_schedule); replaces plateau control
         grad_accum_steps: int = 1,  # A>1: each optimizer step accumulates grads over A microbatches of batch_size/A rows (in-graph lax.scan; activation memory = ONE microbatch)
@@ -174,7 +176,33 @@ class Trainer:
         # (train/ensemble.py fit_lane_sweep). ``model`` stays as the
         # representative instance (shapes/defaults). Only the ensemble
         # path supports this — fit()/evaluate() raise.
+        # KL annealing sugar: beta_schedule turns ANY model with a
+        # ``beta`` attribute into an hp-scheduled one via Module.clone
+        # (the in-graph rebuild the lane sweeps already rely on). The
+        # cure for the posterior collapse the reference's constant-beta
+        # headline figures exhibit (optim/schedules.beta_warmup_schedule).
+        if beta_schedule is not None:
+            if hp_model_fn is not None or hp_schedule is not None:
+                raise ValueError(
+                    "beta_schedule is sugar for hp_model_fn+hp_schedule — "
+                    "pass either the sugar or the generic form, not both"
+                )
+            if not hasattr(model, "beta"):
+                raise ValueError(
+                    f"beta_schedule requires a model with a beta attribute "
+                    f"(got {type(model).__name__})"
+                )
+            hp_model_fn = lambda hp: model.clone(beta=hp["beta"])  # noqa: E731
+            hp_schedule = lambda epoch: {"beta": beta_schedule(epoch)}  # noqa: E731
         self.hp_model_fn = hp_model_fn
+        # epoch-indexed hyperparameter schedule: evaluated per epoch on
+        # the host (K=1) and IN-GRAPH from ctrl["epoch"] (chunked), same
+        # f32 callable both places -> bit-identical histories for any K.
+        # Val metrics use the SAME epoch's hp as training (monitor
+        # val/loss_recon if you need a schedule-invariant monitor).
+        self.hp_schedule = hp_schedule
+        if hp_schedule is not None and hp_model_fn is None:
+            raise ValueError("hp_schedule requires hp_model_fn (or beta_schedule)")
         if hp_model_fn is not None and (loss_fn or train_step_fn):
             raise ValueError("hp_model_fn does not compose with loss_fn/train_step_fn")
         if ema_decay is not None and train_step_fn is not None:
@@ -307,15 +335,21 @@ class Trainer:
             self._epoch_fns_cache[key] = self._build_epoch_fns(n_train, batch_size, n_val)
         return self._epoch_fns_cache[key]
 
+    def _chunk_cache_key(self, n_train: int, batch_size: int, n_val: int, k: int):
+        """Cache key for _chunk_fn_cache/_chunk_body_cache — the ONE
+        definition (train/ensemble.py and external probes index
+        _chunk_body_cache with it): the schedules' arithmetic is baked
+        into the traced program, so a different schedule callable must
+        compile a different program."""
+        return (n_train, batch_size, n_val, k, self.lr_schedule, self.hp_schedule)
+
     def _chunk_fn(self, n_train: int, batch_size: int, n_val: int, k: int):
         """K-epochs-in-one-dispatch program (see train/chunk_program.py,
         extracted round 4): scan of (train epoch + full val eval +
         best-params tracking + IN-GRAPH controllers), bit-identical to
         the K=1 loop for ANY K. Cached per (shape, k, schedule); the
         UNJITTED body is kept for train/ensemble.py to vmap."""
-        # the schedule's values are baked into the traced program, so a
-        # different schedule callable must compile a different program
-        cache_key = (n_train, batch_size, n_val, k, self.lr_schedule)
+        cache_key = self._chunk_cache_key(n_train, batch_size, n_val, k)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
         from hyperbolic_vae_tpu.train.chunk_program import build_chunk_body
@@ -428,11 +462,19 @@ class Trainer:
                 self._shutdown = None
 
     def _fit_inner(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
-        if self.hp_model_fn is not None:
+        if self.hp_model_fn is not None and self.hp_schedule is None:
             raise ValueError(
                 "hp_model_fn trainers sweep hyperparameter LANES — use "
                 "fit_lane_sweep; for a single config construct the model "
-                "concretely and use a plain Trainer"
+                "concretely and use a plain Trainer (hp_model_fn WITH "
+                "hp_schedule/beta_schedule is the single-model scheduled "
+                "path and fits normally)"
+            )
+        if self.hp_schedule is not None and getattr(self, "_stream_rows", None):
+            raise ValueError(
+                "hp_schedule/beta_schedule is not supported with "
+                "fit_streamed (the streamed epoch program does not thread "
+                "hp); anneal with the staged fit()"
             )
         # fresh controller state per fit, so one Trainer can run several
         # fits (e.g. multi-seed parity) without leaking plateau/stop state
@@ -550,8 +592,18 @@ class Trainer:
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
                 lr_epoch, jnp.float32
             )
-            params, opt_state, train_ms = train_epoch(params, opt_state, x_train, ek)
-            val_ms = eval_epoch(params, x_val, vk)
+            if self.hp_schedule is not None:
+                # same f32 callable the chunked program evaluates in-graph
+                # from ctrl["epoch"] — pass the jnp scalars as-is so the
+                # traced arithmetic (and hence the history) is identical
+                hp_epoch = self.hp_schedule(jnp.asarray(epoch, jnp.int32))
+                params, opt_state, train_ms = train_epoch(
+                    params, opt_state, x_train, ek, hp_epoch
+                )
+                val_ms = eval_epoch(params, x_val, vk, hp_epoch)
+            else:
+                params, opt_state, train_ms = train_epoch(params, opt_state, x_train, ek)
+                val_ms = eval_epoch(params, x_val, vk)
             # ONE batched host transfer per epoch: on the axon backend each
             # individual float() is a separate ~25 ms device round trip, so
             # per-scalar fetching costs ~7x25 ms/epoch (measured 108 vs 33

@@ -1,0 +1,131 @@
+"""KL annealing (Trainer(beta_schedule=...)) correctness.
+
+The reference trains every family at constant beta and its
+RelaxedBernoulli conv-hyperbolic / gyroplane / Jerby-Arnon headline
+figures are posterior-collapsed (figures/README.md). beta warmup is the
+standard cure; these tests pin the framework's implementation:
+
+  * the schedule itself (linear ramp, clamp at beta_end),
+  * beta=0 at epoch 0 => loss_total == loss_recon exactly (the KL term
+    contributes nothing before the ramp starts),
+  * the in-graph chunked evaluation (epochs_per_dispatch>1) reproduces
+    the K=1 host loop bit-for-bit — the same f32 schedule callable runs
+    both places,
+  * the sugar's guards (needs a beta attribute; mutually exclusive with
+    the generic hp_model_fn+hp_schedule form; no streamed fits).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hyperbolic_vae_tpu.data.mnist import make_data_module
+from hyperbolic_vae_tpu.models import GyroplaneVAE
+from hyperbolic_vae_tpu.optim import beta_warmup_schedule
+from hyperbolic_vae_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def dm():
+    # n_test=96 with batch 64 exercises the eval tail fold under hp
+    return make_data_module(batch_size=64, synthetic=True, n_train=320, n_test=96)
+
+
+def test_beta_warmup_values():
+    fn = beta_warmup_schedule(1.0, warmup_epochs=4)
+    vals = [float(fn(e)) for e in range(7)]
+    np.testing.assert_allclose(vals, [0.0, 0.25, 0.5, 0.75, 1.0, 1.0, 1.0])
+    fn2 = beta_warmup_schedule(2.0, warmup_epochs=2, beta_start=1.0)
+    np.testing.assert_allclose([float(fn2(e)) for e in range(4)], [1.0, 1.5, 2.0, 2.0])
+
+
+def _fit(dm, k, warmup=4, max_epochs=6):
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model,
+        max_epochs=max_epochs,
+        early_stopping_patience=None,
+        plateau_patience=1000,
+        epochs_per_dispatch=k,
+        check_finite=False,
+        beta_schedule=beta_warmup_schedule(1.0, warmup_epochs=warmup),
+    )
+    return trainer.fit(dm)
+
+
+def test_beta_zero_epoch_total_equals_recon(dm):
+    r = _fit(dm, k=1)
+    h0 = r.history[0]
+    # epoch 0: beta = 0 -> the KL term contributes nothing. Not bitwise:
+    # XLA fuses mean(recon + 0*kl) and mean(recon) into different
+    # reduction plans (observed 2-ulp val difference), so ulp-scale rtol.
+    np.testing.assert_allclose(
+        h0["train/loss_total"], h0["train/recon_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        h0["val/loss_total"], h0["val/recon_loss"], rtol=1e-6
+    )
+    # after the ramp the KL weight is live again
+    h_end = r.history[-1]
+    assert h_end["train/loss_total"] > h_end["train/recon_loss"]
+    assert all(np.isfinite(h["val/loss_total"]) for h in r.history)
+
+
+def test_chunked_beta_matches_unchunked(dm):
+    """epochs_per_dispatch>1 evaluates the schedule IN-GRAPH from the
+    absolute epoch counter; histories must be bit-identical to K=1
+    (including a chunk boundary mid-ramp: warmup 4, K=4, 6 epochs)."""
+    r1 = _fit(dm, k=1)
+    r4 = _fit(dm, k=4)
+    for key in ("train/loss_total", "val/loss_total", "train/kl_loss"):
+        h1 = [h[key] for h in r1.history]
+        h4 = [h[key] for h in r4.history]
+        np.testing.assert_allclose(h1, h4, rtol=0, atol=0)  # bit-identical
+    for a, b in zip(jax.tree.leaves(r1.params), jax.tree.leaves(r4.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ensemble_composes_with_beta_schedule(dm):
+    """Seed-vmapped ensembles merge the schedule in-graph per lane; each
+    lane must bit-match a sequential fit of the same seed."""
+    def make_trainer():
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        return Trainer(
+            model, max_epochs=4, early_stopping_patience=None,
+            plateau_patience=1000, check_finite=False,
+            beta_schedule=beta_warmup_schedule(1.0, warmup_epochs=3),
+        )
+
+    t = make_trainer()
+    r_ens = t.fit_ensemble(dm, seeds=[0, 1], epochs_per_dispatch=2)
+    for seed, r in zip([0, 1], r_ens):
+        t_seq = make_trainer()
+        t_seq.seed = seed
+        r_seq = t_seq.fit(dm)
+        h_e = [h["val/loss_total"] for h in r.history]
+        h_s = [h["val/loss_total"] for h in r_seq.history]
+        np.testing.assert_allclose(h_e, h_s, rtol=0, atol=0)  # bit-identical
+
+
+def test_beta_schedule_guards(dm):
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    sched = beta_warmup_schedule(1.0, 4)
+    with pytest.raises(ValueError, match="sugar"):
+        Trainer(
+            model,
+            beta_schedule=sched,
+            hp_model_fn=lambda hp: model.clone(beta=hp["beta"]),
+        )
+    with pytest.raises(ValueError, match="hp_model_fn"):
+        Trainer(model, hp_schedule=lambda e: {"beta": sched(e)})
+
+    class NoBeta:
+        pass
+
+    with pytest.raises(ValueError, match="beta attribute"):
+        Trainer(NoBeta(), beta_schedule=sched)
+
+    t = Trainer(model, max_epochs=1, beta_schedule=sched, check_finite=False)
+    with pytest.raises(ValueError, match="fit_streamed"):
+        t.fit_streamed(dm, block_rows=64)
