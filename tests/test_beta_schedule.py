@@ -108,6 +108,34 @@ def test_ensemble_composes_with_beta_schedule(dm):
         np.testing.assert_allclose(h_e, h_s, rtol=0, atol=0)  # bit-identical
 
 
+def test_resume_mid_ramp_matches_uninterrupted(dm, tmp_path):
+    """A fit interrupted INSIDE the warmup and resumed must reproduce the
+    uninterrupted history: the schedule is indexed by ABSOLUTE epoch, so
+    resume at epoch 3 of a 4-epoch ramp continues at beta(3), not
+    beta(0)."""
+    sched = beta_warmup_schedule(1.0, warmup_epochs=4)
+
+    def make_trainer(ckpt):
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        return Trainer(
+            model, max_epochs=6, early_stopping_patience=None,
+            plateau_patience=1000, check_finite=False,
+            beta_schedule=sched, checkpoint_dir=ckpt,
+        )
+
+    r_full = make_trainer(str(tmp_path / "full")).fit(dm)
+
+    t1 = make_trainer(str(tmp_path / "resumed"))
+    t1.max_epochs = 3  # stop mid-ramp
+    t1.fit(dm)
+    t2 = make_trainer(str(tmp_path / "resumed"))
+    r2 = t2.fit(dm, resume=True)
+
+    h_full = [h["val/loss_total"] for h in r_full.history]
+    h_res = [h["val/loss_total"] for h in r2.history]
+    np.testing.assert_allclose(h_full[3:], h_res, rtol=0, atol=0)
+
+
 def test_beta_schedule_guards(dm):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
     sched = beta_warmup_schedule(1.0, 4)
