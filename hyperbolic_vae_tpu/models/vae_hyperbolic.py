@@ -45,7 +45,16 @@ class HyperbolicImageVAE(fnn.Module):
     decoder_first_layer_module: str = "linear"  # +"geodesic"|"mobius"|"geoopt_gyroplane"
     beta: float = 1.0
     lr: float = 1e-3
-    loss_recon: str = "mse"  # "mse" | "bernoulli"
+    loss_recon: str = "mse"  # "mse" | "bernoulli" | "bernoulli_elbo"
+    # "bernoulli" reproduces the reference's loss EXACTLY, including its
+    # reduction imbalance (recon = per-ELEMENT mean, :225 .mean(); KL =
+    # batch SUM, :216 .sum()): latent information costs ~B*H*W times
+    # what it can pay back, so the posterior collapses — the reference's
+    # own committed figure is collapsed, and a beta-warmup run pinned
+    # the diagnosis (runs/figset_r4/hyp_conv_bernoulli_betawarmup).
+    # "bernoulli_elbo" is the corrected option: the SAME RelaxedBernoulli
+    # T=0.1 logit likelihood with a proper per-sample ELBO reduction
+    # (recon summed over pixels, both terms meaned over the batch).
     compute_dtype: str = "float32"  # "bfloat16": conv stacks on the MXU in bf16
     # (manifold math, sampling and the loss stay f32 — repo convention)
     base_channels: int = 16  # conv widths are (m, 2m, 2m); 16 = the
@@ -111,8 +120,9 @@ class HyperbolicImageVAE(fnn.Module):
         mu = self.mu_head(h)
         if self.encoder_last_layer_module == "linear":
             mu = self.ball.expmap0(mu)
-        if self.loss_recon == "bernoulli":
-            log_var = jnp.zeros_like(mu)  # ref :113-116
+        if self.loss_recon in ("bernoulli", "bernoulli_elbo"):
+            log_var = jnp.zeros_like(mu)  # ref :113-116 (same arch, only
+            # the loss reduction differs in the _elbo variant)
         else:
             log_var = self.log_var_head(h)
         return mu, jnp.clip(jnp.exp(0.5 * log_var), 1e-3, 10.0)  # scale floor+cap, see vae_gyroplane
@@ -154,6 +164,16 @@ class HyperbolicImageVAE(fnn.Module):
             xf = x.reshape(x.shape[0], -1)
             logits = x_hat.reshape(x.shape[0], -1)
             loss_recon = -jnp.mean(relaxed_bernoulli_log_prob(xf, 0.1, logits=logits))
+        elif self.loss_recon == "bernoulli_elbo":
+            # corrected reduction (see the attribute note): per-sample
+            # pixel-summed log-likelihood + per-sample KL, both batch
+            # means — a proper ELBO at the same likelihood
+            xf = x.reshape(x.shape[0], -1)
+            logits = x_hat.reshape(x.shape[0], -1)
+            loss_recon = -jnp.mean(
+                jnp.sum(relaxed_bernoulli_log_prob(xf, 0.1, logits=logits), axis=-1)
+            )
+            loss_kl = jnp.mean(log_q - log_p)
         else:
             raise ValueError(self.loss_recon)
         return {

@@ -74,6 +74,32 @@ def test_hyperbolic_image_vae_bernoulli():
     assert "mse" in m
 
 
+def test_bernoulli_elbo_reduction_identities():
+    """bernoulli_elbo = the SAME likelihood with corrected reductions:
+    recon_elbo == H*W*C * recon_bernoulli (per-element mean -> per-sample
+    pixel sum, batch-meaned) and kl_elbo == kl_bernoulli / B (batch sum
+    -> batch mean). Same params, same sample draw."""
+    B, px = 4, 32 * 32 * 1
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (B, 32, 32, 1)), jnp.float32)
+    out = {}
+    for mode in ("bernoulli", "bernoulli_elbo"):
+        model = HyperbolicImageVAE(data_shape=(32, 32, 1), loss_recon=mode)
+        v = model.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+        out[mode] = model.apply(
+            v, x, method="loss", rngs={"sample": jax.random.PRNGKey(2)}
+        )
+    np.testing.assert_allclose(
+        float(out["bernoulli_elbo"]["loss_recon"]),
+        px * float(out["bernoulli"]["loss_recon"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(out["bernoulli_elbo"]["loss_kl"]),
+        float(out["bernoulli"]["loss_kl"]) / B,
+        rtol=1e-5,
+    )
+
+
 def test_rnaseq_vae():
     x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 200)), jnp.float32)
     _, m = _one_step(RNASeqVAE(in_features=200, hidden_dim=32, latent_dim=2), x)
