@@ -136,6 +136,48 @@ def test_resume_mid_ramp_matches_uninterrupted(dm, tmp_path):
     np.testing.assert_allclose(h_full[3:], h_res, rtol=0, atol=0)
 
 
+def test_lane_sweep_composes_with_hp_schedule(dm):
+    """A curvature lane sweep under a beta schedule: the scheduled key
+    overrides each lane's static placeholder in-graph; every lane must
+    match a sequential beta_schedule fit of the concrete model to f32
+    ulp (not bitwise: the lane arm traces curvature as a device scalar,
+    the sequential arm bakes it as a Python constant — different
+    compiled arithmetic). Lanes carry a beta placeholder because
+    hp_model_fn also builds the INIT model host-side from the raw lane
+    dict."""
+    from hyperbolic_vae_tpu.train.ensemble import fit_lane_sweep
+
+    sched = beta_warmup_schedule(1.0, warmup_epochs=3)
+
+    def model_for(c, beta=1.0):
+        return GyroplaneVAE(
+            data_shape=dm.input_shape, latent_dim=2,
+            manifold_curvature=c, beta=beta,
+        )
+
+    t = Trainer(
+        model_for(1.0), max_epochs=4, early_stopping_patience=None,
+        plateau_patience=1000, check_finite=False,
+        hp_model_fn=lambda hp: model_for(hp["manifold_curvature"], hp["beta"]),
+        hp_schedule=lambda e: {"beta": sched(e)},
+    )
+    lanes = [{"manifold_curvature": 0.5, "beta": 1.0, "seed": 0},
+             {"manifold_curvature": 1.4, "beta": 1.0, "seed": 1}]
+    r_lanes = fit_lane_sweep(t, dm, lanes, epochs_per_dispatch=2)
+
+    for lane, r in zip(lanes, r_lanes):
+        t_seq = Trainer(
+            model_for(lane["manifold_curvature"]), max_epochs=4,
+            early_stopping_patience=None, plateau_patience=1000,
+            check_finite=False, seed=lane["seed"], beta_schedule=sched,
+        )
+        r_seq = t_seq.fit(dm)
+        h_l = [h["val/loss_total"] for h in r.history]
+        h_s = [h["val/loss_total"] for h in r_seq.history]
+        # few-ulp per-step drift compounds over the 4 epochs
+        np.testing.assert_allclose(h_l, h_s, rtol=1e-5)
+
+
 def test_beta_schedule_guards(dm):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
     sched = beta_warmup_schedule(1.0, 4)
