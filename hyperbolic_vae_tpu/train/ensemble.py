@@ -333,6 +333,17 @@ def evaluate_lanes(trainer, dm: ArrayDataModule, results, lanes: Sequence[dict],
         name: jnp.asarray([float(l[name]) for l in lanes], jnp.float32)
         for name in hp_keys
     }
+    if trainer.hp_schedule is not None:
+        # scheduled keys evaluate at the schedule's END state, same as
+        # Trainer.evaluate on the scheduled single-model path — the
+        # static lane placeholders only seed the host-side init model
+        sched_end = trainer.hp_schedule(jnp.asarray(trainer.max_epochs, jnp.int32))
+        for name, v in sched_end.items():
+            hp_stack[name] = jnp.broadcast_to(
+                jnp.asarray(v, jnp.float32), (len(lanes),)
+            )
+            if name not in hp_keys:
+                hp_keys.append(name)
     best = _stack([r.best_params for r in results])
     x = trainer._stage(getattr(dm, f"x_{split}"))
     n = int(getattr(dm, f"x_{split}").shape[0])
