@@ -35,13 +35,25 @@ def data_module_for(model, args):
             batch_size=args.batch_size, fake=args.synthetic,
             n_genes=data_shape[0], data_dir=args.data_dir,
         )
-    if data_shape[:2] == (32, 32):
+    if data_shape == (32, 32, 3):
         from hyperbolic_vae_tpu.data import cifar10
 
         return cifar10.make_data_module(
             batch_size=args.batch_size, data_dir=args.data_dir,
             synthetic=args.synthetic, n_train=args.n_train,
         )
+    if data_shape == (32, 32, 1):
+        # the conv MNIST families train on pad-to-32 MNIST (the _5
+        # protocol) — routing by (32, 32) alone sent them to 3-channel
+        # CIFAR and crashed restore-time eval
+        from train_vae_euclidean_mnist import pad_to_32
+
+        from hyperbolic_vae_tpu.data import mnist
+
+        return pad_to_32(mnist.make_data_module(
+            batch_size=args.batch_size, data_dir=args.data_dir,
+            synthetic=args.synthetic, n_train=args.n_train,
+        ))
     from hyperbolic_vae_tpu.data import mnist
 
     return mnist.make_data_module(
