@@ -176,11 +176,24 @@ class HyperbolicImageVAE(fnn.Module):
             loss_kl = jnp.mean(log_q - log_p)
         else:
             raise ValueError(self.loss_recon)
+        # metric-reduction note: the "mse"/"bernoulli" modes return the
+        # reference's BATCH-SUM entries verbatim (ref :216,219 — a known
+        # deviation from the repo's per-sample-mean loss-dict contract,
+        # so grad_accum_steps>1 rescales their gradients/metrics by 1/A;
+        # use the per-sample-mean families for accumulation). The
+        # corrected bernoulli_elbo mode follows the contract throughout.
+        per_sample = self.loss_recon == "bernoulli_elbo"
+        sq = (x_hat - x) ** 2
+        mse = (
+            jnp.mean(jnp.sum(sq.reshape(x.shape[0], -1), axis=-1))
+            if per_sample
+            else jnp.sum(sq)  # test-time extra metric (ref :261-268)
+        )
         return {
             "loss_total": loss_recon + self.beta * loss_kl,
             "loss_recon": loss_recon,
             "loss_kl": loss_kl,
-            "mse": jnp.sum((x_hat - x) ** 2),  # test-time extra metric (ref :261-268)
+            "mse": mse,
         }
 
     def iwae(self, x, k: int = 256):

@@ -136,6 +136,11 @@ def beta_warmup_schedule(beta_end: float, warmup_epochs: int,
     b0, b1 = jnp.float32(beta_start), jnp.float32(beta_end)
     w = jnp.float32(warmup_epochs)
 
+    if warmup_epochs <= 0:
+        # a zero-length ramp means CONSTANT beta_end from epoch 0 — the
+        # max(w, 1) guard below would silently make it a 1-epoch anneal
+        return lambda epoch: jnp.full((), b1, jnp.float32)
+
     def fn(epoch):
         e = jnp.asarray(epoch, jnp.float32)
         t = jnp.clip(e / jnp.maximum(w, 1.0), 0.0, 1.0)

@@ -139,9 +139,12 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         hp_keys = tuple(sorted(lane_hparams[0]))
         if any(tuple(sorted(h)) != hp_keys for h in lane_hparams):
             raise ValueError("every lane must carry the same hparam keys")
-    elif trainer.hp_model_fn is not None and trainer.hp_schedule is None:
-        # the scheduled single-model path (beta_schedule) needs no lane
-        # hparams — the chunk body merges hp_schedule(epoch) in-graph
+    elif trainer.hp_model_fn is not None and not getattr(
+        trainer, "_hp_schedule_single", False
+    ):
+        # the beta-sugar single-model path needs no lane hparams — its
+        # schedule supplies every key and the chunk body merges it
+        # in-graph; a GENERIC hp_model_fn still needs per-lane dicts
         raise ValueError("hp_model_fn trainers need lane_hparams (fit_lane_sweep)")
     if lane_lrs is not None and len(lane_lrs) != n_seeds:
         raise ValueError("need one lr per lane")

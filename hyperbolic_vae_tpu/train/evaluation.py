@@ -25,13 +25,16 @@ def evaluate(trainer, dm: ArrayDataModule, params, split: str = "test",
     distribution, not bitwise)."""
     hp_eval = None
     if trainer.hp_model_fn is not None:
-        if trainer.hp_schedule is None:
+        if not getattr(trainer, "_hp_schedule_single", False):
+            # lane mode (with or without a composed schedule): per-lane
+            # keys make any single rebuilt model wrong — use
+            # evaluate_lanes, or a plain Trainer on the concrete model
             raise ValueError(
                 "evaluate needs a concrete model; rebuild one from the "
-                "lane's hparams with a plain Trainer"
+                "lane's hparams with a plain Trainer (or evaluate_lanes)"
             )
-        # scheduled single-model path (e.g. beta_schedule): evaluate at
-        # the schedule's END state — after a completed warmup this is the
+        # scheduled single-model path (beta_schedule): evaluate at the
+        # schedule's END state — after a completed warmup this is the
         # model's own configured value
         hp_eval = trainer.hp_schedule(jnp.asarray(trainer.max_epochs, jnp.int32))
     x_host = getattr(dm, f"x_{split}")
@@ -77,9 +80,12 @@ def evaluate_iwae(trainer, dm: ArrayDataModule, params, k: int = 5000,
     K=5000 at any data width without a (K, B, D) materialization."""
     from hyperbolic_vae_tpu.models.iwae import combine_chunked_bounds
 
-    if trainer.hp_model_fn is not None and trainer.hp_schedule is None:
-        # lane mode. The SCHEDULED single-model path (beta_schedule) is
-        # fine with the static model: the IWAE bound has no beta in it.
+    if trainer.hp_model_fn is not None and not getattr(
+        trainer, "_hp_schedule_single", False
+    ):
+        # lane mode (per-lane keys — the static model would be wrong).
+        # The beta-sugar single-model path is fine with the static
+        # model: the IWAE bound has no beta in it.
         raise ValueError(
             "evaluate_iwae needs a concrete model; rebuild one from "
             "the lane's hparams with a plain Trainer"
@@ -148,11 +154,14 @@ def encode_split(trainer, dm: ArrayDataModule, params, split: str = "val",
     20k-gene split encodes without materializing a single giant
     apply. The Inferencer (and its compiled programs) is cached on
     the Trainer; params are swapped in per call."""
-    if trainer.hp_model_fn is not None and trainer.hp_schedule is None:
+    if trainer.hp_model_fn is not None and not getattr(
+        trainer, "_hp_schedule_single", False
+    ):
         # lane mode: silently embedding lane params with the
         # REPRESENTATIVE model's curvature would be wrong for every
-        # other lane. The scheduled single-model path (beta_schedule)
-        # encodes with the static model — encode has no beta in it.
+        # other lane (even when a schedule is composed over the lanes).
+        # The beta-sugar single-model path encodes with the static
+        # model — encode has no beta in it.
         raise ValueError(
             "encode_split needs a concrete model; rebuild one from "
             "the lane's hparams with a plain Trainer"

@@ -181,6 +181,13 @@ class Trainer:
         # (the in-graph rebuild the lane sweeps already rely on). The
         # cure for the posterior collapse the reference's constant-beta
         # headline figures exhibit (optim/schedules.beta_warmup_schedule).
+        # _hp_schedule_single: the schedule supplies EVERY key hp_model_fn
+        # consumes, so the trainer is a single-model scheduled fit (plain
+        # fit/evaluate/encode work, with the static model as the post-ramp
+        # evaluator). Only the beta sugar guarantees that; a generic
+        # hp_model_fn+hp_schedule pair is lane composition (fit_lane_sweep),
+        # where per-lane keys make the static model WRONG for evaluation.
+        self._hp_schedule_single = beta_schedule is not None
         if beta_schedule is not None:
             if hp_model_fn is not None or hp_schedule is not None:
                 raise ValueError(
@@ -462,13 +469,13 @@ class Trainer:
                 self._shutdown = None
 
     def _fit_inner(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
-        if self.hp_model_fn is not None and self.hp_schedule is None:
+        if self.hp_model_fn is not None and not self._hp_schedule_single:
             raise ValueError(
                 "hp_model_fn trainers sweep hyperparameter LANES — use "
-                "fit_lane_sweep; for a single config construct the model "
-                "concretely and use a plain Trainer (hp_model_fn WITH "
-                "hp_schedule/beta_schedule is the single-model scheduled "
-                "path and fits normally)"
+                "fit_lane_sweep (a generic hp_schedule composes with the "
+                "lanes there); for a single scheduled model use "
+                "Trainer(beta_schedule=...), whose schedule supplies every "
+                "key the rebuilt model needs"
             )
         if self.hp_schedule is not None and getattr(self, "_stream_rows", None):
             raise ValueError(
