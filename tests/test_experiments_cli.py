@@ -171,6 +171,22 @@ def test_eval_checkpoints_cli_model_agnostic(tmp_path):
     assert out.count("test/loss_total") >= 2
 
 
+def test_eval_checkpoints_routes_conv_mnist(tmp_path):
+    """(32, 32, 1) conv-MNIST checkpoints must restore against pad-to-32
+    MNIST, not 3-channel CIFAR (the (32, 32)-prefix routing crashed with
+    a ScopeParamShapeError — round-4 session-5 fix)."""
+    run_script(
+        "train_vae_hyperbolic_mnist.py",
+        "--synthetic", "--n-train", "160", "--run-dir", str(tmp_path / "conv"),
+    )
+    out = run_script(
+        "eval_checkpoints.py",
+        "--synthetic", "--n-train", "160",
+        "--glob", str(tmp_path / "*" / "ckpt"),
+    )
+    assert "HyperbolicImageVAE" in out and "test/loss_total" in out
+
+
 def test_grid_cli_sequential(tmp_path):
     out = run_script(
         "train_vae_hyperbolic_mnist_grid.py",
