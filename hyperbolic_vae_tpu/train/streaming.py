@@ -78,7 +78,7 @@ def make_streamed_epoch(trainer, dm: ArrayDataModule, block_rows: int, n_val: in
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def train_epoch(params, opt_state, _x_unused, key):
+    def train_epoch(params, opt_state, _x_unused, key, hp=None):
         e = epoch_counter["n"]
         epoch_counter["n"] += 1
         rng = np.random.default_rng((trainer.seed, 0x5EED, e))
@@ -106,7 +106,7 @@ def make_streamed_epoch(trainer, dm: ArrayDataModule, block_rows: int, n_val: in
         pre = prefetcher.submit(host_block, 1) if j_blocks > 1 else None
         for i in range(j_blocks):
             kk = key if j_blocks == 1 else jax.random.fold_in(key, i)
-            params, opt_state, ms = block_fn(params, opt_state, cur, kk)
+            params, opt_state, ms = block_fn(params, opt_state, cur, kk, hp)
             # enqueue the next block's H2D while this block computes;
             # the host gather for block i+2 overlaps on its own thread
             if i + 1 < j_blocks:

@@ -477,12 +477,6 @@ class Trainer:
                 "Trainer(beta_schedule=...), whose schedule supplies every "
                 "key the rebuilt model needs"
             )
-        if self.hp_schedule is not None and getattr(self, "_stream_rows", None):
-            raise ValueError(
-                "hp_schedule/beta_schedule is not supported with "
-                "fit_streamed (the streamed epoch program does not thread "
-                "hp); anneal with the staged fit()"
-            )
         # fresh controller state per fit, so one Trainer can run several
         # fits (e.g. multi-seed parity) without leaking plateau/stop state
         self.plateau = ReduceLROnPlateau(**self._plateau_cfg)

@@ -196,6 +196,38 @@ def test_beta_schedule_guards(dm):
     with pytest.raises(ValueError, match="beta attribute"):
         Trainer(NoBeta(), beta_schedule=sched)
 
-    t = Trainer(model, max_epochs=1, beta_schedule=sched, check_finite=False)
-    with pytest.raises(ValueError, match="fit_streamed"):
-        t.fit_streamed(dm, block_rows=64)
+    with pytest.raises(ValueError, match="LANES"):
+        # generic hp_model_fn+hp_schedule is lane composition only —
+        # plain fit would KeyError on the missing per-lane keys
+        Trainer(
+            model,
+            hp_model_fn=lambda hp: model.clone(beta=hp["beta"]),
+            hp_schedule=lambda e: {"beta": sched(e)},
+        ).fit(dm)
+
+
+def test_streamed_composes_with_beta_schedule(dm):
+    """fit_streamed threads the schedule's hp through the block programs;
+    with block_rows == n_train it reduces to fit() bit-for-bit."""
+    sched = beta_warmup_schedule(1.0, warmup_epochs=3)
+
+    def make_trainer():
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        return Trainer(
+            model, max_epochs=4, early_stopping_patience=None,
+            plateau_patience=1000, check_finite=False, beta_schedule=sched,
+        )
+
+    n = int(dm.x_train.shape[0])
+    r_fit = make_trainer().fit(dm)
+    r_one = make_trainer().fit_streamed(dm, block_rows=n)
+    h_f = [h["train/loss_total"] for h in r_fit.history]
+    h_1 = [h["train/loss_total"] for h in r_one.history]
+    np.testing.assert_allclose(h_f, h_1, rtol=0, atol=0)  # bit-identical
+    # J > 1 blocks: smoke — finite, ramp visible (beta 0 at epoch 0)
+    r_j = make_trainer().fit_streamed(dm, block_rows=n // 2)
+    h0 = r_j.history[0]
+    np.testing.assert_allclose(
+        h0["train/loss_total"], h0["train/recon_loss"], rtol=1e-6
+    )
+    assert all(np.isfinite(h["train/loss_total"]) for h in r_j.history)
