@@ -46,11 +46,22 @@ if __name__ == "__main__":
         "--platforms", type=str, nargs="+", default=["cpu", "tpu"],
         help="lowering targets baked into the bundle",
     )
+    p.add_argument(
+        "--io-dtype", default=None, choices=["float16", "bfloat16"],
+        help="bake a half-precision wire format into the bundle's "
+        "programs (serve.py Inferencer io_dtype)",
+    )
+    p.add_argument(
+        "--no-sub-batch-buckets", action="store_true",
+        help="skip the power-of-two row-bucket programs for small requests",
+    )
     args = p.parse_args()
 
     inf = Inferencer.from_checkpoint(
         args.ckpt, name=args.name, batch_size=args.batch_size,
         max_batches_per_dispatch=args.max_batches_per_dispatch,
+        io_dtype=args.io_dtype,
+        sub_batch_buckets=not args.no_sub_batch_buckets,
     )
     out = inf.export_programs(
         args.out, methods=tuple(args.methods),

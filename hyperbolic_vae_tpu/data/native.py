@@ -21,14 +21,22 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _try_build() -> None:
     """Best-effort `make -C native` on first use (the .so is not
-    committed; the toolchain is baked into the image)."""
+    committed; the toolchain is baked into the image). Serialized by an
+    flock so parallel first users (e.g. pytest -n workers on a fresh
+    clone) don't race concurrent compiles onto the same .so."""
     import subprocess
 
     try:
-        subprocess.run(
-            ["make", "-C", str(_LIB_PATH.parent)],
-            capture_output=True, timeout=120, check=False,
-        )
+        import fcntl
+
+        with open(_LIB_PATH.parent / ".build.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if _LIB_PATH.exists():  # another process just built it
+                return
+            subprocess.run(
+                ["make", "-C", str(_LIB_PATH.parent)],
+                capture_output=True, timeout=120, check=False,
+            )
     except Exception:  # no make / sandboxed: stay on the pandas fallback
         logger.info("native build unavailable; using pandas fallback")
 

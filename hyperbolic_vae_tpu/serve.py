@@ -6,12 +6,14 @@ The reference has no deployment story (its closest analogue is calling
 This framework is built for production TPU serving, where the rules are
 different from training:
 
-  * XLA compiles per input shape — a server must run ONE fixed batch
-    shape and pad, or it recompiles (seconds to minutes on a remote
-    relay) on every ragged request. Multi-batch request sizes are
-    BUCKETED to powers of two up to ``max_batches_per_dispatch``, so an
-    adversarial ragged stream compiles at most log2(cap)+1 programs per
-    method; ``warmup()`` primes the whole bucket set.
+  * XLA compiles per input shape — a server must run a bounded set of
+    fixed shapes and pad, or it recompiles (seconds to minutes on a
+    remote relay) on every ragged request. Request sizes are BUCKETED
+    to powers of two: sub-batch row counts below ``batch_size`` (so a
+    1-row request at production width pads to 1 row, not to a 21 MB
+    batch), then whole batches up to ``max_batches_per_dispatch``. An
+    adversarial ragged stream compiles at most log2(B)+log2(cap)+1
+    programs per method; ``warmup()`` primes the whole set.
   * Dispatch round trips dominate small requests (~25-30 ms each on the
     axon tunnel), so a k-batch request runs as ONE lax.map program —
     sequential per-batch dispatches do not pipeline there. Large
@@ -68,11 +70,36 @@ class Inferencer:
     key from the CLIENT-supplied seed — replayable by construction.
     """
 
+    # endpoints whose INPUT / OUTPUT arrays are data-shaped (the big ones
+    # worth shrinking on the wire); latent-shaped arrays stay f32
+    _DATA_IN = ("encode", "reconstruct")
+    _DATA_OUT = ("decode", "reconstruct", "generate")
+
     def __init__(self, model, params, batch_size: int = 256, mesh=None,
-                 max_batches_per_dispatch: int = 16):
+                 max_batches_per_dispatch: int = 16, io_dtype=None,
+                 sub_batch_buckets: bool = True):
         self.model = model
         self.batch_size = int(batch_size)
         self.mesh = mesh
+        # Half-precision WIRE format (io_dtype="float16" or "bfloat16"):
+        # data-shaped arrays cross the host<->device link at half width —
+        # inputs are cast host-side BEFORE the transfer, the compiled
+        # program upcasts to f32 at entry (all model math stays f32), and
+        # data-shaped outputs come back half and are restored to float32
+        # numpy on the host (the public API dtype never changes). Latent-
+        # shaped arrays (encode outputs, decode inputs) stay f32: they are
+        # tiny and precision-sensitive. Production-width serving is
+        # transfer-bound (a 2048x20480-gene reconstruct moves 336 MB f32;
+        # benchmarks/BENCH_SERVE.json) — this halves it. float16 keeps 11
+        # mantissa bits (~5e-4 relative on z-scored data / [0,1] images)
+        # and is the recommended setting; bfloat16 is offered for range.
+        if io_dtype is not None:
+            io_dtype = jnp.dtype(io_dtype)
+            if io_dtype not in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)):
+                raise ValueError(
+                    f"io_dtype must be float16 or bfloat16, got {io_dtype}"
+                )
+        self.io_dtype = io_dtype
         if mesh is not None:
             from hyperbolic_vae_tpu.parallel.mesh import replicated
 
@@ -97,6 +124,28 @@ class Inferencer:
             self._buckets.append(b)
             b *= 2
         self._buckets.append(self.max_batches_per_dispatch)
+        # Sub-batch ROW buckets: a request smaller than one batch pads to
+        # the next power-of-two row count, not to the full batch — a
+        # 1-row request at 20,480 genes moves 80 KB instead of the 21 MB
+        # padded batch (transfer is the serving bottleneck at production
+        # width, benchmarks/BENCH_SERVE.json), at the cost of log2(B)
+        # extra programs per method (primed by warmup() like the rest).
+        # Disabled under a mesh (sub-batch rows can't shard the 'data'
+        # axis evenly).
+        self.sub_batch_buckets = bool(sub_batch_buckets) and mesh is None
+        self._row_buckets = []
+        if self.sub_batch_buckets:
+            r = 1
+            while r < self.batch_size:
+                self._row_buckets.append(r)
+                r *= 2
+
+    def _row_bucket(self, n: int):
+        """Smallest sub-batch row bucket >= n (None: use full batches)."""
+        for r in self._row_buckets:
+            if r >= n:
+                return r
+        return None
 
     def _bucket(self, k: int) -> int:
         """Smallest bucket >= k (the caller splits k above the cap)."""
@@ -108,34 +157,81 @@ class Inferencer:
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, name: str = "best",
                         batch_size: int = 256, mesh=None,
-                        max_batches_per_dispatch: int = 16) -> "Inferencer":
+                        max_batches_per_dispatch: int = 16,
+                        io_dtype=None,
+                        sub_batch_buckets: bool = True) -> "Inferencer":
         from hyperbolic_vae_tpu.train.checkpoint import restore_model
 
         model, params, _meta = restore_model(ckpt_dir, name)
         return cls(model, params, batch_size=batch_size, mesh=mesh,
-                   max_batches_per_dispatch=max_batches_per_dispatch)
+                   max_batches_per_dispatch=max_batches_per_dispatch,
+                   io_dtype=io_dtype, sub_batch_buckets=sub_batch_buckets)
 
     # ------------------------------------------------------------------ #
+
+    def _wire_in_dtype(self, method: str):
+        """Dtype a request array for ``method`` crosses the wire in."""
+        if self.io_dtype is not None and method in self._DATA_IN:
+            return self.io_dtype
+        return jnp.dtype(jnp.float32)
+
+    @staticmethod
+    def _host_restore(a) -> np.ndarray:
+        """Fetched output -> float32 numpy (half wire dtypes upcast)."""
+        a = np.asarray(a)
+        if a.dtype in (np.dtype(jnp.float16), np.dtype(jnp.bfloat16)):
+            return a.astype(np.float32)
+        return a
 
     def _fn(self, method: str):
         if method not in self._compiled:
             model = self.model
+            out_dtype = (self.io_dtype if self.io_dtype is not None
+                         and method in self._DATA_OUT else None)
 
             if method == "reconstruct":
                 # deterministic serving semantics: decode the posterior
                 # MEAN (model.reconstruct rsamples, which is a training/
                 # visualization behavior, not an endpoint)
                 def apply(params, x):
+                    x = x.astype(jnp.float32)  # wire dtype -> compute dtype
                     out = model.apply({"params": params}, x, method="encode")
                     mu = out[0] if isinstance(out, tuple) else out
-                    return model.apply({"params": params}, mu, method="decode")
+                    out = model.apply({"params": params}, mu, method="decode")
+                    return (out if out_dtype is None
+                            else jax.tree.map(lambda a: a.astype(out_dtype), out))
 
             else:
                 def apply(params, x):
-                    return model.apply({"params": params}, x, method=method)
+                    x = x.astype(jnp.float32)
+                    out = model.apply({"params": params}, x, method=method)
+                    return (out if out_dtype is None
+                            else jax.tree.map(lambda a: a.astype(out_dtype), out))
 
             self._compiled[method] = jax.jit(apply)
         return self._compiled[method]
+
+    def _fn_rows(self, method: str, r: int):
+        """Program for a sub-batch dispatch of r rows. The live Inferencer
+        reuses the base jit (which retraces per input shape); the cache
+        key exists so bounds/warmup accounting and ExportedInferencer's
+        fixed-shape programs line up."""
+        key = (method, "r", r)
+        if key not in self._compiled:
+            self._compiled[key] = self._fn(method)
+        return self._compiled[key]
+
+    def _smallest_ready_rows(self, method: str):
+        """Smallest row count some already-available program for
+        ``method`` accepts (None if nothing is available yet) — empty
+        requests route through it instead of compiling a fresh shape."""
+        rows = [k[2] for k in self._compiled
+                if isinstance(k, tuple) and len(k) == 3 and k[:2] == (method, "r")]
+        if rows:
+            return min(rows)
+        if method in self._compiled:
+            return self.batch_size
+        return None
 
     def _fn_k(self, method: str, k: int):
         """ONE compiled program for a k-batch request: lax.map over the
@@ -159,12 +255,23 @@ class Inferencer:
         (repeating row 0; padded outputs discarded), run the k-batch
         program, fetch once, trim to n_keep rows."""
         b = self.batch_size
+        # cast on the HOST so half io_dtype halves the bytes transferred
+        # (jnp.asarray of an already-cast numpy array ships it verbatim)
+        x = np.asarray(x, np.dtype(self._wire_in_dtype(method)))
+        r = self._row_bucket(x.shape[0])
+        if r is not None:
+            # sub-batch request: pad to the row bucket, not the full batch
+            pad = r - x.shape[0]
+            if pad:
+                x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)], 0)
+            out = jax.device_get(self._fn_rows(method, r)(self.params, jnp.asarray(x)))
+            return jax.tree.map(lambda a: self._host_restore(a)[:n_keep], out)
         k = self._bucket(max((x.shape[0] + b - 1) // b, 1))
         pad = k * b - x.shape[0]
         if pad:
             x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)], 0)
         if k > 1:
-            xk = jnp.asarray(x.reshape((k, b) + x.shape[1:]), jnp.float32)
+            xk = jnp.asarray(x.reshape((k, b) + x.shape[1:]))
             if self.mesh is not None:
                 # shard the BATCH axis (axis 1: lax.map iterates axis 0)
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -173,16 +280,17 @@ class Inferencer:
                 xk = jax.device_put(xk, NamedSharding(self.mesh, spec))
             out = self._fn_k(method, k)(self.params, xk)
             return jax.tree.map(
-                lambda a: np.asarray(a).reshape((k * b,) + a.shape[2:])[:n_keep],
+                lambda a: self._host_restore(a).reshape(
+                    (k * b,) + a.shape[2:])[:n_keep],
                 jax.device_get(out),
             )
-        xb = jnp.asarray(x, jnp.float32)
+        xb = jnp.asarray(x)
         if self.mesh is not None:
             from hyperbolic_vae_tpu.parallel.mesh import data_sharding
 
             xb = jax.device_put(xb, data_sharding(self.mesh, xb.ndim))
         out = jax.device_get(self._fn(method)(self.params, xb))
-        return jax.tree.map(lambda a: np.asarray(a)[:n_keep], out)
+        return jax.tree.map(lambda a: self._host_restore(a)[:n_keep], out)
 
     def _run_padded(self, method: str, x: np.ndarray):
         """Serve a request of any size within the bounded program set:
@@ -190,10 +298,13 @@ class Inferencer:
         remainder."""
         n = x.shape[0]
         if n == 0:
-            # run ONE zero row through the already-primed 1-batch program
-            # and trim — an empty request must not compile a fresh
-            # (0, ...)-shaped out-of-bucket program
-            x = np.zeros((1,) + tuple(x.shape[1:]), np.float32)
+            # run zero rows through an ALREADY-AVAILABLE program (smallest
+            # row-bucket/batch shape compiled so far) and trim — an empty
+            # request must not compile a fresh out-of-bucket program
+            rows = self._smallest_ready_rows(method)
+            if rows is None:
+                rows = self._row_buckets[0] if self._row_buckets else 1
+            x = np.zeros((rows,) + tuple(x.shape[1:]), np.float32)
             return self._dispatch(method, x, 0)
         cap_rows = self.max_batches_per_dispatch * self.batch_size
         if n <= cap_rows:
@@ -212,12 +323,15 @@ class Inferencer:
         same program exports to a StableHLO bundle unchanged."""
         if "generate" not in self._compiled:
             model, b = self.model, self.batch_size
+            out_dtype = self.io_dtype  # generate output is data-shaped
 
             def apply(params, key):
-                return model.apply(
+                out = model.apply(
                     {"params": params}, b, method="generate",
                     rngs={"sample": key},
                 )
+                return (out if out_dtype is None
+                        else jax.tree.map(lambda a: a.astype(out_dtype), out))
 
             self._compiled["generate"] = jax.jit(apply)
         return self._compiled["generate"]
@@ -256,10 +370,10 @@ class Inferencer:
             keys = fold(jnp.arange(start, start + bucket))
             if bucket == 1:
                 out = self._gen_fn()(self.params, keys[0])
-                pieces.append(np.asarray(jax.device_get(out)))
+                pieces.append(self._host_restore(jax.device_get(out)))
             else:
                 out = self._gen_fn_k(bucket)(self.params, keys)
-                a = np.asarray(jax.device_get(out))
+                a = self._host_restore(jax.device_get(out))
                 pieces.append(a.reshape((bucket * b,) + a.shape[2:]))
         return np.concatenate(pieces, axis=0)[: int(n)]
 
@@ -284,7 +398,8 @@ class Inferencer:
     @property
     def n_programs(self) -> int:
         """Number of distinct compiled programs (bounded: at most
-        len(buckets)+1 per method regardless of the request stream)."""
+        len(row_buckets)+len(buckets)+1 per method regardless of the
+        request stream)."""
         return len(self._compiled)
 
     def warmup(self, data_shape: Optional[tuple] = None,
@@ -306,6 +421,8 @@ class Inferencer:
                 continue
             feat = ((int(self.model.latent_dim),) if method == "decode"
                     else shape)
+            for r in self._row_buckets:
+                getattr(self, method)(np.zeros((r,) + feat, np.float32))
             for k in self._buckets:
                 x = np.zeros((k * self.batch_size,) + feat, np.float32)
                 getattr(self, method)(x)
@@ -355,9 +472,19 @@ class Inferencer:
                 else:
                     fn = self._fn(method) if k == 1 else self._fn_k(method, k)
                     shape = ((self.batch_size,) if k == 1 else (k, self.batch_size)) + feat[method]
-                    xs = jax.ShapeDtypeStruct(shape, jnp.float32)
+                    xs = jax.ShapeDtypeStruct(shape, self._wire_in_dtype(method))
                 exp = jexport.export(fn, platforms=list(platforms))(pspec, xs)
                 (out / f"{method}_k{k}.stablehlo").write_bytes(exp.serialize())
+            if method != "generate":
+                # sub-batch row programs (fixed shapes in a bundle, unlike
+                # the live jit which retraces)
+                for r in self._row_buckets:
+                    fn = self._fn_rows(method, r)
+                    xs = jax.ShapeDtypeStruct(
+                        (r,) + feat[method], self._wire_in_dtype(method)
+                    )
+                    exp = jexport.export(fn, platforms=list(platforms))(pspec, xs)
+                    (out / f"{method}_r{r}.stablehlo").write_bytes(exp.serialize())
         flat, _ = jax.tree_util.tree_flatten_with_path(self.params)
         keys, dtypes, shapes, arrs = [], [], [], {}
         for i, (path, v) in enumerate(flat):
@@ -375,10 +502,13 @@ class Inferencer:
                     "batch_size": self.batch_size,
                     "max_batches_per_dispatch": self.max_batches_per_dispatch,
                     "buckets": self._buckets,
+                    "row_buckets": self._row_buckets,
                     "methods": list(methods),
                     "data_shape": list(data_shape),
                     "latent_dim": latent_dim,
                     "platforms": list(platforms),
+                    "io_dtype": (None if self.io_dtype is None
+                                 else self.io_dtype.name),
                     "param_paths": keys,
                     "param_dtypes": dtypes,
                     "param_shapes": shapes,
@@ -397,9 +527,14 @@ class ExportedInferencer(Inferencer):
     def __init__(self, programs: dict, params, manifest: dict):
         self.model = None
         self.mesh = None
+        io = manifest.get("io_dtype")  # absent in pre-round-4 bundles
+        self.io_dtype = None if io is None else jnp.dtype(io)
         self.batch_size = int(manifest["batch_size"])
         self.max_batches_per_dispatch = int(manifest["max_batches_per_dispatch"])
         self._buckets = list(manifest["buckets"])
+        # absent in pre-round-4 bundles: those pad to full batches
+        self._row_buckets = list(manifest.get("row_buckets", []))
+        self.sub_batch_buckets = bool(self._row_buckets)
         self._manifest = manifest
         self.params = params
         self._compiled = programs
@@ -432,6 +567,12 @@ class ExportedInferencer(Inferencer):
                     bytearray((d / f"{method}_k{k}.stablehlo").read_bytes())
                 )
                 programs[method if k == 1 else (method, k)] = exp.call
+            if method != "generate":
+                for r in manifest.get("row_buckets", []):
+                    exp = jexport.deserialize(
+                        bytearray((d / f"{method}_r{r}.stablehlo").read_bytes())
+                    )
+                    programs[(method, "r", r)] = exp.call
         return cls(programs, params, manifest)
 
     def _fn(self, method: str):
@@ -443,6 +584,12 @@ class ExportedInferencer(Inferencer):
         key = (method, k)
         if key not in self._compiled:
             raise KeyError(f"bucket {key} was not exported in this bundle")
+        return self._compiled[key]
+
+    def _fn_rows(self, method: str, r: int):
+        key = (method, "r", r)
+        if key not in self._compiled:
+            raise KeyError(f"row bucket {key} was not exported in this bundle")
         return self._compiled[key]
 
     def _gen_fn(self):
@@ -460,8 +607,10 @@ class ExportedInferencer(Inferencer):
                 for k in self._buckets:
                     self.generate(k * self.batch_size)
                 continue
+            feat = lat if method == "decode" else shape
+            for r in self._row_buckets:
+                getattr(self, method)(np.zeros((r,) + feat, np.float32))
             for k in self._buckets:
-                feat = lat if method == "decode" else shape
                 x = np.zeros((k * self.batch_size,) + feat, np.float32)
                 getattr(self, method)(x)
         return self

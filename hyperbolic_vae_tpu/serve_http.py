@@ -438,12 +438,16 @@ class InferenceServer:
                 )
                 accept = (self.headers.get("Accept") or "").split(";")[0]
                 if accept == "application/octet-stream":
-                    # raw-f32 reply for bulk sampling — tolist()+JSON on
-                    # tens of MB of pixels is request-thread poison
-                    a = np.ascontiguousarray(out, np.dtype("<f4"))
+                    # raw reply for bulk sampling — tolist()+JSON on
+                    # tens of MB of pixels is request-thread poison;
+                    # X-Dtype: float16 halves the reply wire
+                    wd = (self.headers.get("X-Dtype") or "float32").strip()
+                    wire = np.dtype("<f2" if wd == "float16" else "<f4")
+                    a = np.ascontiguousarray(out, wire)
                     self._reply(
                         200, a.tobytes(), "application/octet-stream",
-                        {"X-Shape": ",".join(str(d) for d in a.shape)},
+                        {"X-Shape": ",".join(str(d) for d in a.shape),
+                         "X-Dtype": np.dtype(wire).name},
                     )
                 else:
                     self._reply_json(200, {"outputs": [out.tolist()]})
@@ -475,11 +479,23 @@ class InferenceServer:
                     n = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(n)
                     ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                    wire = np.dtype("<f4")
                     if ctype == "application/octet-stream":
+                        # X-Dtype: float16 halves the client<->server wire
+                        # both ways (the reply echoes the request dtype);
+                        # composes with the Inferencer's io_dtype, which
+                        # halves the host<->device hop
+                        wd = (self.headers.get("X-Dtype") or "float32").strip()
+                        if wd not in ("float32", "float16"):
+                            raise ValueError(
+                                f"X-Dtype must be float32 or float16, got {wd!r}"
+                            )
+                        if wd == "float16":
+                            wire = np.dtype("<f2")
                         shape = tuple(
                             int(s) for s in self.headers["X-Shape"].split(",")
                         )
-                        x = np.frombuffer(body, np.dtype("<f4")).reshape(shape)
+                        x = np.frombuffer(body, wire).reshape(shape)
                     else:
                         x = np.asarray(json.loads(body)["data"], np.float32)
                 except Exception as e:  # malformed request, not a bug
@@ -505,10 +521,11 @@ class InferenceServer:
                     len(x), time.perf_counter() - t_start,
                 )
                 if ctype == "application/octet-stream":
-                    a = np.ascontiguousarray(out[0], np.dtype("<f4"))
+                    a = np.ascontiguousarray(out[0], wire)
                     self._reply(
                         200, a.tobytes(), "application/octet-stream",
-                        {"X-Shape": ",".join(str(d) for d in a.shape)},
+                        {"X-Shape": ",".join(str(d) for d in a.shape),
+                         "X-Dtype": np.dtype(wire).name},
                     )
                 else:
                     self._reply_json(200, {"outputs": [a.tolist() for a in out]})
@@ -527,6 +544,8 @@ class InferenceServer:
             "batch_size": inf.batch_size,
             "max_batches_per_dispatch": inf.max_batches_per_dispatch,
             "buckets": list(inf._buckets),
+            "row_buckets": list(inf._row_buckets),
+            "io_dtype": None if inf.io_dtype is None else inf.io_dtype.name,
             # truth per engine: a bundle only has what was exported; a
             # live engine only has generate if the model family does
             "methods": (
@@ -575,6 +594,13 @@ def main(argv: Optional[list] = None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--max-batches-per-dispatch", type=int, default=16)
+    p.add_argument("--io-dtype", default=None, choices=["float16", "bfloat16"],
+                   help="half-precision host<->device wire format for "
+                        "data-shaped arrays (serve.py Inferencer io_dtype); "
+                        "halves transfer on remote/tunneled devices")
+    p.add_argument("--no-sub-batch-buckets", action="store_true",
+                   help="pad every request to full batches (disable the "
+                        "power-of-two row buckets for small requests)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip priming every (method, bucket) program at startup")
     p.add_argument("--no-coalesce", action="store_true",
@@ -592,6 +618,8 @@ def main(argv: Optional[list] = None):
         inf = Inferencer.from_checkpoint(
             args.checkpoint, name=args.name, batch_size=args.batch_size,
             max_batches_per_dispatch=args.max_batches_per_dispatch,
+            io_dtype=args.io_dtype,
+            sub_batch_buckets=not args.no_sub_batch_buckets,
         )
     engines = {"default": inf}
     for spec in args.also:
@@ -604,6 +632,8 @@ def main(argv: Optional[list] = None):
         engines[mname] = Inferencer.from_checkpoint(
             ckpt_dir, name=ckpt_name, batch_size=args.batch_size,
             max_batches_per_dispatch=args.max_batches_per_dispatch,
+            io_dtype=args.io_dtype,
+            sub_batch_buckets=not args.no_sub_batch_buckets,
         )
     if not args.no_warmup:
         print("warming up (compiling every method x bucket)...", flush=True)

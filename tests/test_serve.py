@@ -134,8 +134,10 @@ def test_ragged_stream_bounded_compiles(trained):
         direct = model.apply({"params": result.best_params}, x, method="encode")
         direct_mu = direct[0] if isinstance(direct, tuple) else direct
         np.testing.assert_allclose(mu, np.asarray(direct_mu), atol=1e-6)
-    # "encode" base program + one program per bucket k>1 (k=1 reuses base)
-    assert inf.n_programs <= len(inf._buckets) + 1, inf._compiled.keys()
+    # "encode" base program + one per bucket k>1 + one per sub-batch row
+    # bucket used (k=1 reuses base)
+    bound = len(inf._buckets) + 1 + len(inf._row_buckets)
+    assert inf.n_programs <= bound, inf._compiled.keys()
 
 
 def test_warmup_primes_all_buckets(trained):
@@ -206,6 +208,110 @@ def test_model_data_shape_helper():
     assert model_data_shape(_Vec()) == (20480,)
     with pytest.raises(AttributeError, match="data_shape"):
         model_data_shape(_Bare())
+
+
+def test_sub_batch_row_buckets(trained):
+    """A request smaller than one batch pads to the next power-of-two ROW
+    count (not to the full batch): the dispatched program is registered
+    under a (method, 'r', r) key, results match the direct apply, and
+    disabling the feature reverts to full-batch padding."""
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64)
+    assert inf._row_buckets == [1, 2, 4, 8, 16, 32]
+    assert inf._row_bucket(1) == 1 and inf._row_bucket(5) == 8
+    assert inf._row_bucket(33) is None  # 33..64 pads to the full batch
+    for n in (1, 3, 8, 33):
+        x = dm.x_train[:n]
+        mu = inf.embed(x)
+        assert mu.shape == (n, 2)
+        direct = model.apply({"params": result.best_params}, x, method="encode")
+        direct_mu = direct[0] if isinstance(direct, tuple) else direct
+        np.testing.assert_allclose(mu, np.asarray(direct_mu), atol=1e-6)
+    row_keys = [k for k in inf._compiled
+                if isinstance(k, tuple) and len(k) == 3 and k[1] == "r"]
+    assert sorted(k[2] for k in row_keys) == [1, 4, 8]  # 33 used the batch
+    off = Inferencer(model, result.best_params, batch_size=64,
+                     sub_batch_buckets=False)
+    assert off._row_buckets == []
+    np.testing.assert_allclose(off.embed(dm.x_train[:3]), inf.embed(dm.x_train[:3]),
+                               atol=1e-6)
+    assert not [k for k in off._compiled if isinstance(k, tuple) and len(k) == 3]
+
+
+def test_empty_request_routes_to_smallest_ready_program(trained):
+    """After only a sub-batch program exists, an empty request must reuse
+    it (no fresh compile), and with nothing compiled it uses the smallest
+    row bucket."""
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64)
+    inf.embed(dm.x_train[:3])  # primes only (encode, 'r', 4)
+    n = inf.n_programs
+    mu = inf.embed(np.empty((0, 28, 28, 1), np.float32))
+    assert mu.shape == (0, 2) and inf.n_programs == n
+    fresh = Inferencer(model, result.best_params, batch_size=64)
+    mu = fresh.embed(np.empty((0, 28, 28, 1), np.float32))
+    assert mu.shape == (0, 2)
+    assert ("encode", "r", 1) in fresh._compiled
+
+
+def test_io_dtype_wire_rules(trained):
+    """io_dtype applies to DATA-shaped wire arrays only: encode/reconstruct
+    inputs and decode/reconstruct/generate outputs travel half; latent-
+    shaped arrays (encode outputs, decode inputs) stay f32."""
+    import jax.numpy as jnp
+
+    dm, model, result, _ = trained
+    inf = Inferencer(model, result.best_params, batch_size=64, io_dtype="float16")
+    assert inf._wire_in_dtype("encode") == jnp.dtype(jnp.float16)
+    assert inf._wire_in_dtype("reconstruct") == jnp.dtype(jnp.float16)
+    assert inf._wire_in_dtype("decode") == jnp.dtype(jnp.float32)
+    # the compiled reconstruct program RETURNS half (D2H is halved too)
+    xb = jnp.zeros((64, 28, 28, 1), jnp.float16)
+    out = inf._fn("reconstruct")(result.best_params, xb)
+    assert out.dtype == jnp.float16
+    # encode output (the latent) stays f32
+    out = inf._fn("encode")(result.best_params, xb)
+    mu = out[0] if isinstance(out, tuple) else out
+    assert mu.dtype == jnp.float32
+    with pytest.raises(ValueError, match="float16 or bfloat16"):
+        Inferencer(model, result.best_params, io_dtype="int8")
+
+
+@pytest.mark.parametrize("io_dtype,atol", [("float16", 2e-2), ("bfloat16", 6e-2)])
+def test_io_dtype_accuracy_and_api(trained, io_dtype, atol):
+    """Half-wire endpoints return float32 numpy (API dtype unchanged)
+    within quantization distance of the f32 pipeline, across the k=1,
+    k>1, and padded paths."""
+    dm, model, result, _ = trained
+    f32 = Inferencer(model, result.best_params, batch_size=64)
+    half = Inferencer(model, result.best_params, batch_size=64, io_dtype=io_dtype)
+    x = dm.x_train[:100]  # one full batch + one padded batch
+    for attr in ("embed", "reconstruct"):
+        a, b = getattr(f32, attr)(x), getattr(half, attr)(x)
+        assert b.dtype == np.float32 and b.shape == a.shape
+        np.testing.assert_allclose(a, b, atol=atol)
+        # sub-batch row-bucket path: half-dtype padding/concat too
+        np.testing.assert_allclose(
+            getattr(f32, attr)(x[:3]), getattr(half, attr)(x[:3]), atol=atol
+        )
+    assert np.all(np.linalg.norm(half.embed(x), axis=-1) < 1.0)
+
+
+def test_io_dtype_decode_and_generate_exact_quantization(trained):
+    """decode/generate inputs are NOT quantized (latent / PRNG key), so
+    the half-wire result must equal the f32 result quantized at the exit
+    cast — exactly, not approximately."""
+    dm, model, result, _ = trained
+    f32 = Inferencer(model, result.best_params, batch_size=64)
+    half = Inferencer(model, result.best_params, batch_size=64, io_dtype="float16")
+    z = np.asarray(f32.embed(dm.x_train[:5]))
+    np.testing.assert_array_equal(
+        half.decode(z), np.asarray(f32.decode(z), np.float16).astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        half.generate(70, seed=3),
+        np.asarray(f32.generate(70, seed=3), np.float16).astype(np.float32),
+    )
 
 
 def test_generate_seeded_and_batch_stable(trained):

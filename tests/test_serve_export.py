@@ -51,8 +51,8 @@ def test_exported_matches_live(bundle):
 
 def test_exported_program_count_is_bounded(bundle):
     inf, out, _ = bundle
-    # 3 methods x buckets {1, 2, 4} = 9 programs in the bundle
-    assert len(list(Path(out).glob("*.stablehlo"))) == 9
+    # 3 methods x (buckets {1, 2, 4} + row buckets {1, 2, 4, 8}) = 21
+    assert len(list(Path(out).glob("*.stablehlo"))) == 21
     exp = ExportedInferencer.load(out)
     with pytest.raises(KeyError, match="not exported"):
         exp._fn("loss")
@@ -107,6 +107,30 @@ print("SERVED", mu.shape)
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SERVED" in proc.stdout
+
+
+def test_io_dtype_bundle_roundtrip(bundle):
+    """A half-wire Inferencer exports programs with half in/out avals;
+    the manifest records io_dtype and the loaded bundle replays the live
+    half-wire endpoints bit-for-bit (and old manifests without the key
+    still load as f32 wire)."""
+    inf, out, dm = bundle
+    half = Inferencer(inf.model, inf.params, batch_size=16,
+                      max_batches_per_dispatch=4, io_dtype="float16")
+    out2 = Path(out).parent / "bundle_f16"
+    half.export_programs(out2)
+    exp = ExportedInferencer.load(out2)
+    assert exp._manifest["io_dtype"] == "float16"
+    assert exp.io_dtype == np.dtype(np.float16)
+    for n in (1, 17, 50):
+        x = np.asarray(dm.x_test[:n], np.float32)
+        a, b = exp.reconstruct(x), half.reconstruct(x)
+        assert a.dtype == np.float32  # host-restored API dtype
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(exp.embed(x), half.embed(x))
+    # pre-round-4 bundles have no io_dtype key -> f32 wire
+    exp_plain = ExportedInferencer.load(out)
+    assert exp_plain.io_dtype is None
 
 
 def test_generate_exports_and_matches_live(bundle):

@@ -86,6 +86,39 @@ def test_raw_roundtrip_matches_direct(served):
     np.testing.assert_allclose(dec, np.asarray(inf.decode(z)), atol=1e-5)
 
 
+def test_raw_f16_wire(served):
+    """X-Dtype: float16 on a raw body: the server parses <f2, replies <f2
+    (echoing the dtype in X-Dtype), and the result matches the f32 path
+    to f16 quantization; a bogus X-Dtype is a 400."""
+    dm, inf, server = served
+    x = np.ascontiguousarray(dm.x_train[:10], "<f2")
+    req = urllib.request.Request(
+        _url(server, "/v1/reconstruct"),
+        data=x.tobytes(),
+        headers={
+            "Content-Type": "application/octet-stream",
+            "X-Shape": ",".join(str(d) for d in x.shape),
+            "X-Dtype": "float16",
+        },
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["X-Dtype"] == "float16"
+        shape = tuple(int(s) for s in r.headers["X-Shape"].split(","))
+        got = np.frombuffer(r.read(), "<f2").reshape(shape).astype(np.float32)
+    ref = inf.reconstruct(x.astype(np.float32))
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    bad = urllib.request.Request(
+        _url(server, "/v1/embed"), data=b"",
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Shape": "0,28,28,1", "X-Dtype": "int8"},
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_encode_returns_all_outputs_in_json(served):
     dm, inf, server = served
     out = _post_json(server, "encode", dm.x_train[:4])
