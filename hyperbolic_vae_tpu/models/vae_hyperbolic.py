@@ -64,6 +64,21 @@ class HyperbolicImageVAE(fnn.Module):
     # channel contractions).
 
     @property
+    def loss_reduction(self) -> str:
+        """Loss-dict reduction contract marker (CLAUDE.md conventions):
+        the reference-parity "mse"/"bernoulli" modes return the
+        reference's BATCH SUMS verbatim (ref vae_hyperbolic.py:216,219),
+        which grad accumulation would silently rescale by 1/A — the
+        Trainer refuses grad_accum_steps>1 for "batch_sum" models
+        (round-4 VERDICT #4). "bernoulli_elbo" follows the repo's
+        per-sample-mean contract throughout."""
+        return (
+            "per_sample_mean"
+            if self.loss_recon == "bernoulli_elbo"
+            else "batch_sum"
+        )
+
+    @property
     def ball(self) -> PoincareBall:
         return PoincareBall(c=self.manifold_curvature)
 
