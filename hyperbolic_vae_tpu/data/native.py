@@ -73,11 +73,28 @@ def is_available() -> bool:
     return _load() is not None
 
 
+# error codes from native/csv_etl.cpp — a malformed file must fail LOUDLY
+# (a silent mis-parse would poison every downstream RNA-seq result)
+_READ_ERRORS = {
+    1: "cannot read file",
+    2: "fewer lines than expected (rows + header)",
+    3: "ragged row: a row has fewer index columns than skip_cols",
+    4: "ragged row: a row has FEWER value fields than the first data row",
+    5: "ragged row: a row has MORE fields than the first data row "
+       "(trailing delimiter or unquoted comma?)",
+}
+
+
 def read_csv_matrix(
     path, skip_header: int = 1, skip_cols: int = 1, n_threads: int = 0
 ) -> np.ndarray:
     """Parse a numeric CSV into a float32 (rows, cols) array, skipping the
-    header line and leading index column(s) — the TPM CSV layout."""
+    header line and leading index column(s) — the TPM CSV layout.
+
+    Malformed-input contract (tests/test_native.py adversarial suite):
+    RFC-4180 quoted fields (embedded commas/quotes) and CRLF line endings
+    parse identically to pandas; unparseable VALUES ("NA", "", junk)
+    become NaN; structurally ragged ROWS raise RuntimeError."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built; run `make -C native`")
@@ -86,7 +103,8 @@ def read_csv_matrix(
     rc = lib.hvae_csv_shape(str(path).encode(), skip_header, skip_cols,
                             ctypes.byref(rows), ctypes.byref(cols))
     if rc != 0:
-        raise RuntimeError(f"hvae_csv_shape failed with code {rc} for {path}")
+        detail = _READ_ERRORS.get(rc, "unknown error")
+        raise RuntimeError(f"hvae_csv_shape failed for {path}: {detail} (code {rc})")
     out = np.empty((rows.value, cols.value), dtype=np.float32)
     rc = lib.hvae_csv_read_f32(
         str(path).encode(), skip_header, skip_cols,
@@ -94,7 +112,8 @@ def read_csv_matrix(
         rows.value, cols.value, n_threads,
     )
     if rc != 0:
-        raise RuntimeError(f"hvae_csv_read_f32 failed with code {rc} for {path}")
+        detail = _READ_ERRORS.get(rc, "unknown error")
+        raise RuntimeError(f"hvae_csv_read_f32 failed for {path}: {detail} (code {rc})")
     return out
 
 

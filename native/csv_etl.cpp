@@ -104,6 +104,47 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
   return p;
 }
 
+// RFC-4180 quote-aware comma scan: a comma inside a quoted field is not
+// a delimiter (the pyarrow/pandas readers the reference leans on honor
+// quoting — /root/reference/hyperbolic_vae/datasets/jerby_arnon.py:134-150;
+// a quote-blind memchr would silently SHIFT every later column of the
+// row). Doubled quotes ("") inside a quoted field are the escaped-quote
+// form and stay inside the field.
+inline const char* find_comma(const char* p, const char* end) {
+  bool in_quotes = false;
+  for (; p < end; ++p) {
+    if (*p == '"') {
+      in_quotes = !in_quotes;
+    } else if (*p == ',' && !in_quotes) {
+      return p;
+    }
+  }
+  return nullptr;
+}
+
+// Parse one field as float32, honoring surrounding whitespace, an
+// optional CR (CRLF files), and RFC-4180 quoting ("1234.5"). Unparseable
+// fields yield NaN (one missing value must not fail the file). `end` is
+// the exclusive end of the FIELD (next unquoted comma or line end).
+inline void parse_field(const char* p, const char* end, float* out) {
+  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+  while (end > p && (end[-1] == ' ' || end[-1] == '\t' || end[-1] == '\r')) --end;
+  if (p < end && *p == '"' && end[-1] == '"' && end - p >= 2) {
+    ++p;
+    --end;
+  }
+  if (p >= end) {
+    *out = std::nanf("");
+    return;
+  }
+  const char* next = parse_float(p, end, out);
+  // loud-NaN any field with trailing junk the parser did not consume
+  // ("1.5x", "1.5 2.5"): a silently truncated parse would poison the
+  // downstream matrix with plausible-looking numbers
+  while (next < end && (*next == ' ' || *next == '\t')) ++next;
+  if (next != end) *out = std::nanf("");
+}
+
 struct FileMap {
   std::string data;
   bool ok = false;
@@ -146,13 +187,18 @@ int hvae_csv_shape(const char* path, int skip_header, int skip_cols,
   int64_t n_lines = static_cast<int64_t>(starts.size());
   if (n_lines <= skip_header) return 2;
   *rows = n_lines - skip_header;
-  // count columns on the first data line
+  // count columns on the first data line (quote-aware: a comma inside a
+  // quoted gene symbol is not a delimiter)
   size_t begin = starts[skip_header];
   size_t end = fm.data.find('\n', begin);
   if (end == std::string::npos) end = fm.data.size();
+  const char* p = fm.data.data() + begin;
+  const char* line_end = fm.data.data() + end;
   int64_t commas = 0;
-  for (size_t i = begin; i < end; ++i)
-    if (fm.data[i] == ',') ++commas;
+  while ((p = find_comma(p, line_end)) != nullptr) {
+    ++commas;
+    ++p;
+  }
   *cols = commas + 1 - skip_cols;
   return 0;
 }
@@ -180,22 +226,21 @@ int hvae_csv_read_f32(const char* path, int skip_header, int skip_cols,
       const char* line_end = static_cast<const char*>(
           memchr(p, '\n', static_cast<size_t>(file_end - p)));
       if (!line_end) line_end = file_end;
-      // skip leading (index) columns
+      // skip leading (index) columns — quote-aware: a comma inside a
+      // quoted gene symbol must not shift the whole row
       for (int s = 0; s < skip_cols; ++s) {
-        const char* comma = static_cast<const char*>(
-            memchr(p, ',', static_cast<size_t>(line_end - p)));
-        if (!comma) { error.store(3); return; }
+        const char* comma = find_comma(p, line_end);
+        if (!comma) { error.store(3); return; }  // ragged: too few fields
         p = comma + 1;
       }
       float* dst = out + r * cols;
       for (int64_t cidx = 0; cidx < cols; ++cidx) {
-        p = parse_float(p, line_end, &dst[cidx]);
-        if (cidx + 1 < cols) {
-          const char* comma = static_cast<const char*>(
-              memchr(p, ',', static_cast<size_t>(line_end - p)));
-          if (!comma) { error.store(4); return; }
-          p = comma + 1;
-        }
+        const char* comma = find_comma(p, line_end);
+        const char* field_end = comma ? comma : line_end;
+        if (!comma && cidx + 1 < cols) { error.store(4); return; }  // ragged: too few fields
+        if (comma && cidx + 1 == cols) { error.store(5); return; }  // ragged: EXTRA fields
+        parse_field(p, field_end, &dst[cidx]);
+        p = field_end + 1;
       }
     }
   };

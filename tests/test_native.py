@@ -63,3 +63,142 @@ def test_missing_values_parse_as_nan(tmp_path):
     np.testing.assert_allclose(
         [m[0, 0], m[0, 2], m[1, 1], m[1, 2]], [1.5, 3.0, 22.5, -4.0]
     )
+
+
+# ---- adversarial inputs (round 5, VERDICT r4 #8): the native parser
+# feeds the real-data RNA-seq path — every malformed-CSV shape must
+# either parse IDENTICALLY to the pandas reader the reference relies on
+# (/root/reference/hyperbolic_vae/datasets/jerby_arnon.py:134-150) or be
+# rejected loudly. A silent mis-parse would poison every downstream
+# RNA-seq result.
+
+
+def _pandas_f32(path):
+    import pandas as pd
+
+    return pd.read_csv(path, index_col=0).to_numpy(dtype=np.float32)
+
+
+@pytest.mark.parametrize(
+    "name,text",
+    [
+        # CRLF line endings (Windows-exported CSV)
+        ("crlf", "g,c1,c2\r\ng1,1.5,2.5\r\ng2,3.5,4.5\r\n"),
+        # RFC-4180 quoting: embedded comma in the index column, quoted
+        # numeric values, doubled-quote escape in the index
+        ("quoted", 'g,c1,c2\n"g,1",1.5,"2.5"\n"g""2","3.5",4.5\n'),
+        # whitespace padding around values
+        ("spaces", "g,c1,c2\ng1, 1.5 ,2.5\ng2,3.5, 4.5\n"),
+        # overflow to inf / denormal / double-denormal-underflow-to-zero,
+        # f32-boundary magnitudes (pandas emits the same f32 cast)
+        (
+            "huge_denormal",
+            "g,c1,c2\ng1,1e40,1e-45\ng2,-3e38,4.9e-324\n",
+        ),
+        # >18 significant digits exercises the dropped-digit slow path
+        (
+            "many_digits",
+            "g,c1,c2\ng1,123456789012345678901.5,0.000123456789012345678901\n"
+            "g2,1.5,2.5\n",
+        ),
+        # no final newline
+        ("no_final_newline", "g,c1,c2\ng1,1.5,2.5\ng2,3.5,4.5"),
+        # uniform trailing delimiter: both readers see one extra all-NaN
+        # column (pandas shifts the header but the VALUES agree)
+        ("trailing_delim_all", "g,c1,c2\ng1,1.5,2.5,\ng2,3.5,4.5,\n"),
+    ],
+)
+def test_adversarial_csv_matches_pandas(tmp_path, name, text):
+    p = tmp_path / f"{name}.csv"
+    p.write_bytes(text.encode())
+    got = native.read_csv_matrix(p)
+    exp = _pandas_f32(p)
+    assert got.shape == exp.shape
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+    m = ~np.isnan(exp)
+    np.testing.assert_array_equal(got[m], exp[m])  # exact f32 agreement
+
+
+@pytest.mark.parametrize(
+    "name,text,code",
+    [
+        # a row with FEWER value fields than the first data row: pandas
+        # silently NaN-fills — we reject loudly instead (stricter is the
+        # acceptable branch of the contract; silence is the bug)
+        ("ragged_fewer", "g,c1,c2\ng1,1.5,2.5\ng2,3.5\n", "FEWER"),
+        # a row with MORE fields (stray unquoted comma / trailing
+        # delimiter on one row): column shift risk — reject loudly
+        ("ragged_extra", "g,c1,c2\ng1,1.5,2.5\ng2,3.5,4.5,9.9\n", "MORE"),
+        # a row missing the index column entirely
+        ("ragged_noindex", "g,c1,c2\ng1,1.5,2.5\nnocommas\n", "index columns"),
+    ],
+)
+def test_ragged_rows_rejected_loudly(tmp_path, name, text, code):
+    p = tmp_path / f"{name}.csv"
+    p.write_text(text)
+    with pytest.raises(RuntimeError, match=code):
+        native.read_csv_matrix(p)
+
+
+def test_junk_suffix_values_become_nan(tmp_path):
+    """Fields with trailing junk after a valid prefix ('1.5x', '1.5 2.5')
+    must NOT silently truncate-parse: they become NaN (pandas makes the
+    column dtype object — a loud failure at to_numpy(float32); NaN is our
+    per-value loud marker with the same no-silent-number guarantee)."""
+    p = tmp_path / "junk.csv"
+    p.write_text("g,c1,c2\ng1,1.5x,2.5\ng2,1.5 2.5,4.5\n")
+    m = native.read_csv_matrix(p)
+    assert np.isnan(m[0, 0]) and np.isnan(m[1, 0])
+    np.testing.assert_array_equal(m[:, 1], [2.5, 4.5])
+
+
+def test_inf_nan_literals_match_pandas(tmp_path):
+    p = tmp_path / "lit.csv"
+    p.write_text("g,c1,c2\ng1,inf,-inf\ng2,nan,2.5\n")
+    got = native.read_csv_matrix(p)
+    exp = _pandas_f32(p)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+    m = ~np.isnan(exp)
+    np.testing.assert_array_equal(got[m], exp[m])
+
+
+def test_fuzz_random_valid_csv_exact_vs_pandas(tmp_path):
+    """Property fuzz: random shapes, random float formats (fixed/exp/int,
+    up to 12 digits, huge/tiny magnitudes, random NA holes, CRLF or LF,
+    random quoting) — native must agree with pandas to the BIT on every
+    non-NaN cell, with identical NaN masks."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        rows = int(rng.integers(1, 30))
+        cols = int(rng.integers(1, 12))
+        crlf = bool(rng.integers(0, 2))
+        eol = "\r\n" if crlf else "\n"
+        lines = ["g," + ",".join(f"c{i}" for i in range(cols))]
+        for r in range(rows):
+            fields = []
+            for c in range(cols):
+                kind = rng.integers(0, 6)
+                if kind == 0:
+                    s = ""  # missing
+                elif kind == 1:
+                    s = f"{rng.uniform(-1e3, 1e3):.{int(rng.integers(0, 12))}f}"
+                elif kind == 2:
+                    s = f"{rng.uniform(-1, 1) * 10.0 ** rng.integers(-40, 40):.{int(rng.integers(1, 10))}e}"
+                elif kind == 3:
+                    s = str(int(rng.integers(-10**12, 10**12)))
+                elif kind == 4:
+                    s = "NA"
+                else:
+                    s = f"{rng.uniform(0, 50):.5f}"
+                if rng.integers(0, 5) == 0 and s:
+                    s = f'"{s}"'  # random quoting
+                fields.append(s)
+            lines.append(f"gene_{r}," + ",".join(fields))
+        p = tmp_path / f"fuzz_{trial}.csv"
+        p.write_bytes((eol.join(lines) + eol).encode())
+        got = native.read_csv_matrix(p)
+        exp = _pandas_f32(p)
+        assert got.shape == exp.shape == (rows, cols)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+        m = ~np.isnan(exp)
+        np.testing.assert_array_equal(got[m], exp[m])
