@@ -226,3 +226,48 @@ def test_probe_geometry_compare_cli(tmp_path):
     )
     assert "hyperbolic" in out and "euclidean" in out
     assert (tmp_path / "probe_compare.json").exists()
+
+
+def test_pvae_replicate_real_mnist_comparison(tmp_path):
+    """--real-mnist <idx-dir> trains on the IDX files and emits
+    published_comparison.json — the side-by-side against Mathieu et
+    al. 2019's MNIST table (VERDICT r4 #7). Exercised here on the
+    fabricated-real-FORMAT path (synthetic pixels written as real IDX
+    files); the same command against a real MNIST download is the
+    real-data acceptance run (README 'With real data')."""
+    import gzip
+    import json
+    import struct
+
+    import numpy as np
+
+    def write_idx(path, arr, gz=False):
+        payload = struct.pack(">HBB", 0, 0x08, arr.ndim)
+        payload += struct.pack(">" + "I" * arr.ndim, *arr.shape)
+        payload += arr.astype(np.uint8).tobytes()
+        opener = gzip.open if gz else open
+        with opener(path, "wb") as f:
+            f.write(payload)
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mnist"
+    d.mkdir()
+    write_idx(d / "train-images-idx3-ubyte", rng.integers(0, 256, (640, 28, 28)))
+    write_idx(d / "train-labels-idx1-ubyte", rng.integers(0, 10, (640,)))
+    write_idx(d / "t10k-images-idx3-ubyte.gz", rng.integers(0, 256, (128, 28, 28)), gz=True)
+    write_idx(d / "t10k-labels-idx1-ubyte.gz", rng.integers(0, 10, (128,)), gz=True)
+
+    out = run_script(
+        "pvae_replicate.py",
+        "--real-mnist", str(d), "--posteriors", "wrapped",
+        "--curvatures", "1.4", "--iwae-k", "20",
+        "--run-dir", str(tmp_path / "run"),
+    )
+    assert "wrapped_c1.4_d2" in out
+    cmp = json.loads((tmp_path / "run" / "published_comparison.json").read_text())
+    assert "warning" not in cmp  # real-format path: no synthetic flag
+    (row,) = cmp["rows"]
+    assert row["latent_dim"] == 2
+    assert row["published_pvae_nll"] == 142.5
+    assert np.isfinite(row["measured_nll_iwae"])
+    assert row["delta_vs_published_pvae"] == row["measured_nll_iwae"] - 142.5
