@@ -120,22 +120,25 @@ class CheckpointManager:
     # the resume unit the reference delegates to Lightning (SURVEY 5.4):
     # weights, optimizer moments, epoch, RNG, and scheduler state.
 
-    def save_state(self, state: Any, meta: dict) -> None:
-        path = self.directory / "state"
+    def save_state(self, state: Any, meta: dict, name: str = "state") -> None:
+        # ``name``: distinct state units coexist in one run dir — "state"
+        # is the single-fit resume unit, "ensemble_state" the stacked
+        # (S, ...) multi-seed/lane unit (train/ensemble.py, round 5)
+        path = self.directory / name
         self._ckpt.save(path, state, force=True)
-        with open(self.directory / "state.json", "w") as f:
+        with open(self.directory / f"{name}.json", "w") as f:
             json.dump(meta, f)
 
-    def restore_state(self, like: Any) -> tuple[Any, Optional[dict]]:
+    def restore_state(self, like: Any, name: str = "state") -> tuple[Any, Optional[dict]]:
         self.wait_until_finished()
-        path = self.directory / "state"
-        meta_path = self.directory / "state.json"
+        path = self.directory / name
+        meta_path = self.directory / f"{name}.json"
         if not path.exists():
             return None, None
         state = self._ckpt.restore(path, target=like)
         meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
         return state, meta
 
-    def has_state(self) -> bool:
+    def has_state(self, name: str = "state") -> bool:
         self.wait_until_finished()
-        return (self.directory / "state").exists()
+        return (self.directory / name).exists()

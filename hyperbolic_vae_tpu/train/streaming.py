@@ -137,3 +137,139 @@ def make_streamed_epoch(trainer, dm: ArrayDataModule, block_rows: int, n_val: in
 
     train_epoch.steps_per_epoch = j_blocks * (block_rows // bs)
     return train_epoch
+
+
+def run_streamed_fit(trainer, dm: ArrayDataModule, params, opt_state, key,
+                     train_epoch, eval_epoch, x_val, start_epoch: int,
+                     history: list, best_params):
+    """The host-driven epoch loop for STREAMED fits (moved here from the
+    Trainer in round 5, when the resident K=1 loop collapsed into the
+    chunk program — VERDICT r4 #5). Streaming is the one engine that
+    cannot stage-and-scan: x_train lives on the host, each epoch is J
+    block dispatches (make_streamed_epoch), so the controllers /
+    best-tracking / checkpoint cadence run host-side per epoch exactly
+    as the former K=1 loop did (same RNG discipline: with
+    block_rows == n_train the history is bit-identical to fit())."""
+    import time
+
+    from hyperbolic_vae_tpu.optim import ema_params
+    from hyperbolic_vae_tpu.train.trainer import TrainResult
+
+    best_metric = float("inf")
+    steps = train_epoch.steps_per_epoch
+    samples_per_epoch = steps * dm.batch_size
+    total_samples = 0
+    t_start = None  # set after the first (compile) epoch
+    # start_epoch, not 0: resuming an already-complete run executes
+    # zero epochs and must not report epochs_run=0 / overwrite the
+    # real "last" checkpoint metadata with epoch=-1 (ADVICE r3)
+    epochs_run = start_epoch
+
+    for epoch in range(start_epoch, trainer.max_epochs):
+        if trainer.profile_dir and epoch == 1:
+            jax.profiler.start_trace(trainer.profile_dir)
+        key, ek, vk = jax.random.split(key, 3)
+        if trainer.lr_schedule is not None:
+            # same f32 callable the chunked program traces in-graph
+            lr_epoch = float(jax.device_get(trainer.lr_schedule(epoch)))
+        else:
+            lr_epoch = trainer.plateau.lr
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_epoch, jnp.float32)
+        if trainer.hp_schedule is not None:
+            # same f32 callable the chunked program evaluates in-graph
+            # from ctrl["epoch"] — pass the jnp scalars as-is so the
+            # traced arithmetic (and hence the history) is identical
+            hp_epoch = trainer.hp_schedule(jnp.asarray(epoch, jnp.int32))
+            params, opt_state, train_ms = train_epoch(
+                params, opt_state, None, ek, hp_epoch
+            )
+            val_ms = eval_epoch(params, x_val, vk, hp_epoch)
+        else:
+            params, opt_state, train_ms = train_epoch(params, opt_state, None, ek)
+            val_ms = eval_epoch(params, x_val, vk)
+        # ONE batched host transfer per epoch (axon: each float() is its
+        # own ~25 ms round trip; device_get fetches the pytree at once)
+        train_ms, val_ms = jax.device_get((train_ms, val_ms))
+        train_ms = {f"train/{k}": float(v) for k, v in train_ms.items()}
+        val_ms = {f"val/{k}": float(v) for k, v in val_ms.items()}
+        if trainer.profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+        metrics = {**train_ms, **val_ms, "lr": lr_epoch, "epoch": epoch}
+        history.append(metrics)
+        epochs_run = epoch + 1
+        if t_start is None:
+            t_start = time.perf_counter()  # exclude compile epoch
+        else:
+            total_samples += samples_per_epoch
+
+        if epoch % trainer.log_every_n_epochs == 0:
+            trainer.metric_logger.log_scalars(epoch, metrics)
+
+        if trainer.check_finite and not np.isfinite(metrics["train/loss_total"]):
+            logger.warning("non-finite train loss at epoch %d: %s", epoch, metrics)
+
+        monitored = metrics.get(trainer.monitor)
+        if monitored is not None and np.isfinite(monitored):
+            if monitored < best_metric:
+                best_metric = monitored
+                # copy: the live params buffer is DONATED to the next
+                # epoch call — a bare reference would alias freed memory
+                best_params = jax.tree.map(jnp.copy, params)
+                if trainer._ckpt_mgr:
+                    trainer._ckpt_mgr.save_best(epoch, params, metrics)
+            if trainer.lr_schedule is None:
+                trainer.plateau.step(monitored)
+            if trainer.early_stopping and trainer.early_stopping.step(monitored):
+                logger.info("early stopping at epoch %d", epoch)
+                for cb in trainer.callbacks:
+                    if hasattr(cb, "on_epoch_end"):
+                        cb.on_epoch_end(trainer, epoch, params, metrics)
+                break
+
+        for cb in trainer.callbacks:
+            if hasattr(cb, "on_epoch_end"):
+                cb.on_epoch_end(trainer, epoch, params, metrics)
+
+        saved_state = (
+            trainer._ckpt_mgr and (epoch + 1) % trainer.state_every_n_epochs == 0
+        )
+        if saved_state:
+            trainer._save_resume_state(params, opt_state, key, epoch)
+
+        # a budget expiring exactly at the final epoch is a COMPLETED
+        # run, not an interruption — don't mark it interrupted=True
+        # (a restart-until-done wrapper would otherwise loop forever)
+        reason = None if epoch == trainer.max_epochs - 1 else trainer._external_stop()
+        if reason:
+            # graceful stop (preemption / wall budget): persist the
+            # full resume state even off the state_every_n cadence,
+            # then leave through the normal save-last/result path
+            trainer._stop_reason = reason
+            logger.warning("graceful stop after epoch %d: %s", epoch, reason)
+            if trainer._ckpt_mgr and not saved_state:
+                trainer._save_resume_state(params, opt_state, key, epoch)
+            break
+
+    if trainer._ckpt_mgr and epochs_run > start_epoch:
+        trainer._ckpt_mgr.save_last(
+            epochs_run - 1, params, history[-1] if history else {}
+        )
+        trainer._save_ema_checkpoint(opt_state, epochs_run - 1)
+        # saves are async (background commit thread): fit() returning
+        # is the durability point callers rely on
+        trainer._ckpt_mgr.wait_until_finished()
+    elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
+    sps = total_samples / elapsed if total_samples else 0.0
+    trainer.metric_logger.close()
+    return TrainResult(
+        params=params,
+        best_params=best_params,
+        history=history,
+        best_metric=best_metric,
+        epochs_run=epochs_run,
+        samples_per_sec=sps,
+        ema_params=(ema_params(opt_state)
+                    if trainer._ema_decay is not None else None),
+        interrupted=trainer._stop_reason is not None,
+        stop_reason=trainer._stop_reason,
+    )

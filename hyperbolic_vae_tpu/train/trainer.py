@@ -106,6 +106,7 @@ class Trainer:
         grad_clip_norm: Optional[float] = None,  # clip grads to this global L2 norm before the optimizer (Lightning gradient_clip_val equivalent; applied to Euclidean grads, i.e. before egrad2rgrad)
         max_wall_seconds: Optional[float] = None,  # graceful stop once fit() exceeds this budget (checked at epoch/chunk boundaries; full resume state saved)
         preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,): handle these as graceful-stop requests during fit (train/preemption.py)
+        hbm_limit_bytes: Optional[int] = None,  # HBM preflight override (None = query the device; tests inject a fake limit)
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -118,7 +119,12 @@ class Trainer:
         # histories incl. across LR drops and early stops — the
         # controllers run inside the scan; tests/test_chunked_fit.py).
         # Remaining K>1 trade-offs: callbacks/state checkpoints fire at
-        # chunk boundaries, profile_dir is unsupported.
+        # chunk boundaries; profile_dir traces the second dispatch.
+        # Round 5: this is THE resident-data engine — plain fit() is
+        # K=1 through the same chunk program (VERDICT r4 #5); the
+        # separate K=1 host loop is gone. Resident fits therefore
+        # require a val/ monitor (the in-graph controllers monitor the
+        # val eval fold); fit_streamed keeps the host-driven loop.
         assert epochs_per_dispatch >= 1
         self.epochs_per_dispatch = int(epochs_per_dispatch)
         # gradient accumulation: the effective (optimizer-step) batch is
@@ -136,6 +142,23 @@ class Trainer:
                 "grad_accum_steps does not compose with train_step_fn "
                 "(the full-step override owns its own grad computation)"
             )
+        if self.grad_accum_steps > 1 and (
+            getattr(model, "loss_reduction", "per_sample_mean")
+            != "per_sample_mean"
+        ):
+            # the accumulation scan averages metric/grad pytrees over A
+            # equal microbatches — exact ONLY for per-sample-mean loss
+            # dicts. A batch-sum loss (HyperbolicImageVAE's reference-
+            # parity "mse"/"bernoulli" modes) would be silently rescaled
+            # by 1/A, training on a different objective (VERDICT r4 #4).
+            raise ValueError(
+                f"grad_accum_steps>1 requires a per-sample-mean loss dict, "
+                f"but {type(model).__name__}.loss_reduction is "
+                f"'{model.loss_reduction}' (its loss entries are batch "
+                f"sums, which accumulation rescales by 1/A). Use the "
+                f"per-sample-mean loss mode (e.g. loss_recon="
+                f"'bernoulli_elbo') or grad_accum_steps=1."
+            )
         # global-norm gradient clipping (torch clip_grad_norm_ / Lightning
         # gradient_clip_val semantics: one shared scale min(1, c/||g||)).
         # Clips the EUCLIDEAN grads — riemannian_adam's egrad2rgrad runs
@@ -149,6 +172,7 @@ class Trainer:
         # train/preemption.py and _external_stop
         self.max_wall_seconds = max_wall_seconds
         self.preempt_signals = tuple(preempt_signals)
+        self._hbm_limit_bytes = hbm_limit_bytes
         self._shutdown = None
         self._fit_t0 = None
         self._stop_reason = None
@@ -412,6 +436,68 @@ class Trainer:
         finally:
             self._stream_rows = None
 
+    def _hbm_preflight(self, dm: ArrayDataModule, params, opt_state,
+                       stream_rows: Optional[int]) -> None:
+        """Fail FAST with an actionable error before staging/compiling
+        when the fit cannot fit in device memory (VERDICT r4 #6 — XLA's
+        OOM surfaces as an opaque relay error minutes into the compile).
+
+        The estimate is a LOWER bound per device: staged splits (train
+        sharded over the 'data' axis; skipped when streaming), params +
+        2 Adam moments (+ EMA inside opt_state) + the in-graph best
+        copy, and one microbatch of input/recon/grad activations. Uses
+        the dryrun's shard-shape byte accounting (__graft_entry__.py).
+        The limit comes from ``hbm_limit_bytes`` (tests) or the
+        device's memory_stats; preflight is skipped when neither is
+        available (CPU backends often expose no limit)."""
+        limit = self._hbm_limit_bytes
+        if limit is None:
+            try:
+                stats = jax.devices()[0].memory_stats()
+                limit = stats.get("bytes_limit") if stats else None
+            except Exception:
+                limit = None
+        if not limit:
+            return
+
+        def per_device_bytes(tree):
+            total = 0
+            for leaf in jax.tree.leaves(tree):
+                if hasattr(leaf, "sharding"):
+                    shape = leaf.sharding.shard_shape(leaf.shape)
+                else:
+                    shape = getattr(leaf, "shape", ())
+                itemsize = np.dtype(getattr(leaf, "dtype", np.float32)).itemsize
+                total += int(np.prod(shape)) * itemsize
+            return total
+
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        row_bytes = int(np.prod(dm.x_train.shape[1:])) * 4  # staged f32
+        if stream_rows:
+            # double-buffered blocks: two blocks resident at the peak
+            split = 2 * int(stream_rows) * row_bytes
+        else:
+            split = int(dm.x_train.shape[0]) * row_bytes
+        split += int(np.prod(dm.x_val.shape)) * 4
+        split = -(-split // n_data)  # sharded over the data axis
+        p = per_device_bytes(params)
+        o = per_device_bytes(opt_state)  # moments (+ EMA when enabled)
+        micro = dm.batch_size // max(self.grad_accum_steps, 1)
+        act = 3 * micro * row_bytes  # input + recon + grad floor
+        total = split + 2 * p + o + act  # 2*p: live + in-graph best copy
+        if total > limit:
+            gib = 2**30
+            raise RuntimeError(
+                f"HBM preflight: estimated per-device bytes "
+                f"{total / gib:.2f} GiB exceed device memory "
+                f"{limit / gib:.2f} GiB "
+                f"(splits {split / gib:.2f} + params+best {2 * p / gib:.2f} "
+                f"+ opt {o / gib:.2f} + activations {act / gib:.2f} GiB). "
+                f"Use fit_streamed(dm, block_rows=...) to keep x_train "
+                f"host-resident, grad_accum_steps to shrink activations, "
+                f"or shard over more devices (mesh)."
+            )
+
     def _external_stop(self) -> Optional[str]:
         """Graceful-stop reason, or None. Checked at epoch (K=1) / chunk
         (K>1) boundaries — the granularity at which resume state is
@@ -422,6 +508,7 @@ class Trainer:
             return f"preemption signal {_signal.Signals(self._shutdown.signum).name}"
         if (
             self.max_wall_seconds is not None
+            and self._fit_t0 is not None  # armed only inside a fit scope
             and time.monotonic() - self._fit_t0 > self.max_wall_seconds
         ):
             return f"wall-clock budget ({self.max_wall_seconds}s) exceeded"
@@ -442,15 +529,20 @@ class Trainer:
             },
         )
 
-    def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
-        """See _fit_inner; this wrapper owns the graceful-stop machinery
-        (preemption signals are installed only while fit runs)."""
+    def _graceful_scope(self):
+        """Context manager owning the graceful-stop machinery for any
+        fit-like entry point (fit / fit_streamed / fit_ensemble /
+        fit_lane_sweep): arms the wall clock, installs the preemption
+        signal handlers only while training runs, and warns when a stop
+        could not save resume state (ADVICE r3)."""
+        import contextlib
+
         self._fit_t0 = time.monotonic()
         self._stop_reason = None
         if (self.preempt_signals or self.max_wall_seconds is not None) and not self._ckpt_mgr:
             # interrupted=True only implies "resume state was saved" when a
-            # checkpoint_dir exists; without one, fit(resume=True) after a
-            # graceful stop silently restarts from scratch (ADVICE r3)
+            # checkpoint_dir exists; without one, a later resume=True after
+            # a graceful stop silently restarts from scratch (ADVICE r3)
             logger.warning(
                 "graceful-stop options (preempt_signals/max_wall_seconds) are "
                 "set but the Trainer has no checkpoint_dir: a stop will NOT "
@@ -458,17 +550,29 @@ class Trainer:
             )
         if not self.preempt_signals:
             self._shutdown = None
-            return self._fit_inner(dm, params=params, resume=resume)
+            return contextlib.nullcontext()
         from hyperbolic_vae_tpu.train.preemption import GracefulShutdown
 
-        with GracefulShutdown(self.preempt_signals) as shutdown:
-            self._shutdown = shutdown
-            try:
-                return self._fit_inner(dm, params=params, resume=resume)
-            finally:
-                self._shutdown = None
+        trainer = self
 
-    def _fit_inner(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
+        @contextlib.contextmanager
+        def scope():
+            with GracefulShutdown(trainer.preempt_signals) as shutdown:
+                trainer._shutdown = shutdown
+                try:
+                    yield
+                finally:
+                    trainer._shutdown = None
+
+        return scope()
+
+    def fit(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
+        """See _fit_impl; the scope owns the graceful-stop machinery
+        (preemption signals are installed only while fit runs)."""
+        with self._graceful_scope():
+            return self._fit_impl(dm, params=params, resume=resume)
+
+    def _fit_impl(self, dm: ArrayDataModule, params=None, resume: bool = False) -> TrainResult:
         if self.hp_model_fn is not None and not self._hp_schedule_single:
             raise ValueError(
                 "hp_model_fn trainers sweep hyperparameter LANES — use "
@@ -533,6 +637,8 @@ class Trainer:
         n_train = int(dm.x_train.shape[0])
         n_val = int(dm.x_val.shape[0])
         stream_rows = getattr(self, "_stream_rows", None)
+        # fail fast (with the fix spelled out) before staging/compiling
+        self._hbm_preflight(dm, params, opt_state, stream_rows)
         if stream_rows:
             # host-resident training data (fit_streamed): blocks stream
             # through the device; never stage the whole split
@@ -543,7 +649,7 @@ class Trainer:
             _, eval_epoch = self._epoch_fns(stream_rows, dm.batch_size, n_val)
         else:
             x_train = self._stage(dm.x_train)
-            train_epoch, eval_epoch = self._epoch_fns(n_train, dm.batch_size, n_val)
+            train_epoch = eval_epoch = None  # the chunk program owns both
         x_val = self._stage(dm.x_val)
 
         self.metric_logger.log_hparams(
@@ -560,138 +666,29 @@ class Trainer:
                 cb.on_fit_start(self, dm)
 
         history = []
-        best_metric = float("inf")
-        # copy, not reference: params is donated to the first epoch call, so
+        # copy, not reference: params is donated to the first dispatch, so
         # if the monitor is never finite best_params must not alias freed HBM
         best_params = jax.tree.map(jnp.copy, params)
-        steps = (
-            train_epoch.steps_per_epoch if stream_rows else n_train // dm.batch_size
-        )
-        samples_per_epoch = steps * dm.batch_size
-        total_samples = 0
-        t_start = None  # set after the first (compile) epoch
-        # start_epoch, not 0: resuming an already-complete run executes
-        # zero epochs and must not report epochs_run=0 / overwrite the
-        # real "last" checkpoint metadata with epoch=-1 (ADVICE r3)
-        epochs_run = start_epoch
 
-        if self.epochs_per_dispatch > 1:
-            return self._fit_chunked(
-                dm, params, opt_state, key, x_train, x_val,
-                n_train, start_epoch, history, best_params,
+        if stream_rows:
+            # host-resident data: the one engine that cannot stage-and-scan
+            # (x_train never fits HBM) — a host-driven epoch loop over the
+            # shared epoch-body programs (train/streaming.py)
+            from hyperbolic_vae_tpu.train.streaming import run_streamed_fit
+
+            return run_streamed_fit(
+                self, dm, params, opt_state, key, train_epoch, eval_epoch,
+                x_val, start_epoch, history, best_params,
             )
-
-        for epoch in range(start_epoch, self.max_epochs):
-            if self.profile_dir and epoch == 1:
-                jax.profiler.start_trace(self.profile_dir)
-            key, ek, vk = jax.random.split(key, 3)
-            if self.lr_schedule is not None:
-                # same f32 callable the chunked program traces in-graph
-                lr_epoch = float(jax.device_get(self.lr_schedule(epoch)))
-            else:
-                lr_epoch = self.plateau.lr
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                lr_epoch, jnp.float32
-            )
-            if self.hp_schedule is not None:
-                # same f32 callable the chunked program evaluates in-graph
-                # from ctrl["epoch"] — pass the jnp scalars as-is so the
-                # traced arithmetic (and hence the history) is identical
-                hp_epoch = self.hp_schedule(jnp.asarray(epoch, jnp.int32))
-                params, opt_state, train_ms = train_epoch(
-                    params, opt_state, x_train, ek, hp_epoch
-                )
-                val_ms = eval_epoch(params, x_val, vk, hp_epoch)
-            else:
-                params, opt_state, train_ms = train_epoch(params, opt_state, x_train, ek)
-                val_ms = eval_epoch(params, x_val, vk)
-            # ONE batched host transfer per epoch: on the axon backend each
-            # individual float() is a separate ~25 ms device round trip, so
-            # per-scalar fetching costs ~7x25 ms/epoch (measured 108 vs 33
-            # ms/epoch on the parity config); device_get fetches the whole
-            # metric pytree in a single round trip
-            train_ms, val_ms = jax.device_get((train_ms, val_ms))
-            train_ms = {f"train/{k}": float(v) for k, v in train_ms.items()}
-            val_ms = {f"val/{k}": float(v) for k, v in val_ms.items()}
-            if self.profile_dir and epoch == 1:
-                jax.profiler.stop_trace()
-            metrics = {**train_ms, **val_ms, "lr": lr_epoch, "epoch": epoch}
-            history.append(metrics)
-            epochs_run = epoch + 1
-            if t_start is None:
-                t_start = time.perf_counter()  # exclude compile epoch
-            else:
-                total_samples += samples_per_epoch
-
-            if epoch % self.log_every_n_epochs == 0:
-                self.metric_logger.log_scalars(epoch, metrics)
-
-            if self.check_finite and not np.isfinite(metrics["train/loss_total"]):
-                logger.warning("non-finite train loss at epoch %d: %s", epoch, metrics)
-
-            monitored = metrics.get(self.monitor)
-            if monitored is not None and np.isfinite(monitored):
-                if monitored < best_metric:
-                    best_metric = monitored
-                    # copy: the live params buffer is DONATED to the next
-                    # epoch call — keeping a bare reference would leave
-                    # best_params pointing at freed memory whenever the
-                    # best epoch is not the last one
-                    best_params = jax.tree.map(jnp.copy, params)
-                    if self._ckpt_mgr:
-                        self._ckpt_mgr.save_best(epoch, params, metrics)
-                if self.lr_schedule is None:
-                    self.plateau.step(monitored)
-                if self.early_stopping and self.early_stopping.step(monitored):
-                    logger.info("early stopping at epoch %d", epoch)
-                    for cb in self.callbacks:
-                        if hasattr(cb, "on_epoch_end"):
-                            cb.on_epoch_end(self, epoch, params, metrics)
-                    break
-
-            for cb in self.callbacks:
-                if hasattr(cb, "on_epoch_end"):
-                    cb.on_epoch_end(self, epoch, params, metrics)
-
-            saved_state = self._ckpt_mgr and (epoch + 1) % self.state_every_n_epochs == 0
-            if saved_state:
-                self._save_resume_state(params, opt_state, key, epoch)
-
-            # a budget expiring exactly at the final epoch is a COMPLETED
-            # run, not an interruption — don't mark it interrupted=True
-            # (a restart-until-done wrapper would otherwise loop forever)
-            reason = None if epoch == self.max_epochs - 1 else self._external_stop()
-            if reason:
-                # graceful stop (preemption / wall budget): persist the
-                # full resume state even off the state_every_n cadence,
-                # then leave through the normal save-last/result path
-                self._stop_reason = reason
-                logger.warning("graceful stop after epoch %d: %s", epoch, reason)
-                if self._ckpt_mgr and not saved_state:
-                    self._save_resume_state(params, opt_state, key, epoch)
-                break
-
-        if self._ckpt_mgr and epochs_run > start_epoch:
-            self._ckpt_mgr.save_last(epochs_run - 1, params, history[-1] if history else {})
-            self._save_ema_checkpoint(opt_state, epochs_run - 1)
-            # saves are async (background commit thread): fit() returning
-            # is the durability point callers rely on (copying the run
-            # dir, exiting the process)
-            self._ckpt_mgr.wait_until_finished()
-        elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
-        sps = total_samples / elapsed if total_samples else 0.0
-        self.metric_logger.close()
-        return TrainResult(
-            params=params,
-            best_params=best_params,
-            history=history,
-            best_metric=best_metric,
-            epochs_run=epochs_run,
-            samples_per_sec=sps,
-            ema_params=(ema_params(opt_state)
-                        if self._ema_decay is not None else None),
-            interrupted=self._stop_reason is not None,
-            stop_reason=self._stop_reason,
+        # THE execution engine (round-5 collapse, VERDICT r4 #5): every
+        # resident fit — K=1 included — runs through the chunk program
+        # (in-graph controllers + best tracking). The bit-parity lattice
+        # (tests/test_chunked_fit.py) proved chunked K=1 == the old host
+        # loop across LR drops, early stops, resume, accum and schedules,
+        # so the former K=1 host loop is deleted, not preserved.
+        return self._fit_chunked(
+            dm, params, opt_state, key, x_train, x_val,
+            n_train, start_epoch, history, best_params,
         )
 
     def _save_ema_checkpoint(self, opt_state, epoch: int) -> None:
@@ -709,15 +706,20 @@ class Trainer:
         self, dm, params, opt_state, key, x_train, x_val,
         n_train, start_epoch, history, best_params,
     ) -> TrainResult:
-        """K-epochs-per-dispatch fit loop (epochs_per_dispatch > 1).
+        """THE resident-data fit loop (round-5 single engine; K=1 is just
+        epochs_per_dispatch=1).
 
         Per-epoch metrics, best-params tracking, ReduceLROnPlateau and
-        EarlyStopping ALL run in-graph inside the chunk program with the
-        exact K=1 host semantics, so histories (incl. per-epoch LR) are
-        bit-identical to the K=1 loop for any K, the stop epoch is the
-        same, and the tail chunk never trains past max_epochs (the final
-        chunk is compiled at the trimmed length). The host's job here is
-        logging, checkpointing and callback dispatch only."""
+        EarlyStopping ALL run in-graph inside the chunk program, so
+        histories (incl. per-epoch LR) are identical for any K
+        (bit-parity lattice tests/test_chunked_fit.py, kept green across
+        the round-5 collapse of the former K=1 host loop into this one),
+        the stop epoch is K-invariant, and the tail chunk never trains
+        past max_epochs (the final chunk is compiled at the trimmed
+        length). The host's job here is logging, checkpointing and
+        callback dispatch only. ``profile_dir`` traces the SECOND
+        dispatch (the first post-compile one — at K=1 exactly the old
+        "profile epoch 1" semantics)."""
         k = self.epochs_per_dispatch
         n_val = int(dm.x_val.shape[0])
         steps = n_train // dm.batch_size
@@ -726,6 +728,7 @@ class Trainer:
         total_samples = 0
         t_start = None
         epochs_run = start_epoch
+        dispatch_idx = 0
         ctrl = self._init_ctrl(start_epoch)
 
         for chunk_start in range(start_epoch, self.max_epochs, k):
@@ -734,10 +737,16 @@ class Trainer:
             # costs one extra compile)
             k_eff = min(k, self.max_epochs - chunk_start)
             chunk_fn = self._chunk_fn(n_train, dm.batch_size, n_val, k_eff)
+            profiling = self.profile_dir and dispatch_idx == 1
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             params, opt_state, best_params, ctrl, key, tms, vms, lrs = chunk_fn(
                 params, opt_state, best_params, ctrl, x_train, x_val, key
             )
             tms, vms, lrs, ctrl_host = jax.device_get((tms, vms, lrs, ctrl))
+            if profiling:
+                jax.profiler.stop_trace()
+            dispatch_idx += 1
             if t_start is None:
                 t_start = time.perf_counter()  # exclude the compile chunk
             epochs_this_chunk = int(ctrl_host["epoch"]) - chunk_start
@@ -831,31 +840,45 @@ class Trainer:
 
     def fit_ensemble(self, dm: ArrayDataModule, seeds: Sequence[int],
                      epochs_per_dispatch: Optional[int] = None,
-                     seed_mesh=None) -> list:
+                     seed_mesh=None, resume: bool = False) -> list:
         """Train one independent model PER SEED simultaneously: the chunk
         program vmapped over a leading seed axis (see train/ensemble.py).
         Returns a list of TrainResult, one per seed, each matching what a
         sequential ``fit`` with that seed produces. ``seed_mesh`` (a 1-D
         Mesh over 'seed', parallel.make_seed_mesh) shards the lanes
-        across devices — zero-collective sweep scale-out."""
+        across devices — zero-collective sweep scale-out.
+
+        Preemption-safe like ``fit`` (round 5): with a checkpoint_dir the
+        stacked (S, ...) state is saved at chunk boundaries, graceful
+        stops (preempt_signals / max_wall_seconds) end the sweep at a
+        chunk boundary, and ``resume=True`` continues it bit-identically."""
         from hyperbolic_vae_tpu.train.ensemble import fit_ensemble
 
-        return fit_ensemble(self, dm, seeds, epochs_per_dispatch, seed_mesh=seed_mesh)
+        with self._graceful_scope():
+            return fit_ensemble(
+                self, dm, seeds, epochs_per_dispatch, seed_mesh=seed_mesh,
+                resume=resume,
+            )
 
     def fit_lane_sweep(self, dm: ArrayDataModule, lanes: Sequence[dict],
                        epochs_per_dispatch: Optional[int] = None,
-                       seed_mesh=None) -> list:
+                       seed_mesh=None, resume: bool = False) -> list:
         """Hyperparameter-lane sweep: every lane (a dict of scalars, e.g.
         curvature/beta/lr/seed) trains its own model inside ONE vmapped
         program. Requires ``Trainer(hp_model_fn=...)``; see
-        train/ensemble.py:fit_lane_sweep."""
+        train/ensemble.py:fit_lane_sweep. Preemption/resume semantics as
+        ``fit_ensemble``."""
         if self.lr_schedule is not None and any("lr" in lane for lane in lanes):
             # a single baked schedule would silently override every
             # lane's lr — the sweep's whole point
             raise ValueError("lr_schedule does not compose with per-lane lr sweeps")
         from hyperbolic_vae_tpu.train.ensemble import fit_lane_sweep
 
-        return fit_lane_sweep(self, dm, lanes, epochs_per_dispatch, seed_mesh=seed_mesh)
+        with self._graceful_scope():
+            return fit_lane_sweep(
+                self, dm, lanes, epochs_per_dispatch, seed_mesh=seed_mesh,
+                resume=resume,
+            )
 
     # ------------------------------------------------------------------ #
 

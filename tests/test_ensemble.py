@@ -299,10 +299,12 @@ def test_hp_trainer_guards(dm):
         plain.fit_lane_sweep(dm, [{"manifold_curvature": 1.0}])
 
 
-def test_ensemble_rejects_unsupported_modes(dm, tmp_path):
+def test_ensemble_rejects_unsupported_modes(dm):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
-    t = Trainer(model, max_epochs=2, checkpoint_dir=str(tmp_path / "ck"))
-    with pytest.raises(ValueError, match="checkpointing"):
+    # checkpointing is SUPPORTED since round 5 (stacked resume state at
+    # chunk boundaries) — callbacks and the data/model mesh still raise
+    t = Trainer(model, max_epochs=2, callbacks=[object()])
+    with pytest.raises(ValueError, match="callbacks"):
         t.fit_ensemble(dm, [0, 1])
     t = Trainer(model, max_epochs=2, use_mesh=True)
     with pytest.raises(ValueError, match="mesh"):

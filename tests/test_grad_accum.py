@@ -131,3 +131,24 @@ def test_grad_accum_rejects_train_step_fn():
             grad_accum_steps=2,
             train_step_fn=lambda p, o, b, k: (p, o, {}),
         )
+
+
+def test_grad_accum_rejects_batch_sum_loss_modes():
+    """The loss-dict per-sample-mean contract is enforced at runtime
+    (round-4 VERDICT #4): HyperbolicImageVAE's reference-parity
+    "mse"/"bernoulli" modes return batch SUMS, which the accumulation
+    scan would silently rescale by 1/A — composing them must raise."""
+    from hyperbolic_vae_tpu.models import HyperbolicImageVAE
+
+    for mode in ("mse", "bernoulli"):
+        with pytest.raises(ValueError, match="batch"):
+            Trainer(
+                HyperbolicImageVAE(data_shape=(32, 32, 1), loss_recon=mode),
+                grad_accum_steps=2,
+            )
+    # the corrected per-sample-mean mode composes fine
+    t = Trainer(
+        HyperbolicImageVAE(data_shape=(32, 32, 1), loss_recon="bernoulli_elbo"),
+        grad_accum_steps=2,
+    )
+    assert t.grad_accum_steps == 2

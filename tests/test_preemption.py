@@ -117,3 +117,122 @@ def test_preempt_signal_midfit(dm):
 def test_uninterrupted_result_flags(dm):
     r = _trainer(dm, max_epochs=2).fit(dm)
     assert not r.interrupted and r.stop_reason is None
+
+
+# ---- ensemble / lane-sweep preemption (round 5, VERDICT r4 #1): the
+# multi-seed path is where the hours-long grid jobs live — a killed
+# sweep must resume from its last chunk bit-identically.
+
+
+def test_ensemble_wall_budget_stops_and_resumes(dm, tmp_path):
+    """max_wall_seconds=0 stops the sweep after each chunk with the
+    stacked resume state saved; restarted fit_ensemble(resume=True)
+    reconstructs the uninterrupted per-seed histories and params
+    BIT-exactly."""
+    seeds = [0, 1]
+    ref = _trainer(dm, max_epochs=6).fit_ensemble(dm, seeds, epochs_per_dispatch=2)
+
+    ckpt = str(tmp_path / "ck")
+    r = _trainer(dm, ckpt, max_epochs=6, max_wall_seconds=0).fit_ensemble(
+        dm, seeds, epochs_per_dispatch=2
+    )
+    assert all(x.interrupted and "wall-clock" in x.stop_reason for x in r)
+    assert [x.epochs_run for x in r] == [2, 2]  # one whole chunk ran
+
+    hist = [list(x.history) for x in r]
+    for _ in range(10):  # bounded; finishes in 2 more restarts
+        r = _trainer(dm, ckpt, max_epochs=6, max_wall_seconds=0).fit_ensemble(
+            dm, seeds, epochs_per_dispatch=2, resume=True
+        )
+        for s in range(len(seeds)):
+            hist[s] += r[s].history
+        if not r[0].interrupted:
+            break
+    assert not r[0].interrupted and r[0].stop_reason is None
+    import jax
+
+    for s in range(len(seeds)):
+        assert [h["epoch"] for h in hist[s]] == [h["epoch"] for h in ref[s].history]
+        np.testing.assert_allclose(
+            [h["val/loss_total"] for h in hist[s]],
+            [h["val/loss_total"] for h in ref[s].history],
+            rtol=0, atol=0,  # bit-identical continuation
+        )
+        assert r[s].best_metric == ref[s].best_metric
+        for a, b in zip(jax.tree.leaves(ref[s].params), jax.tree.leaves(r[s].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(ref[s].best_params), jax.tree.leaves(r[s].best_params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lane_sweep_resume_bitmatch(dm, tmp_path):
+    """Hyperparameter-lane sweeps (the _7/_9 grid workloads) resume
+    through the same stacked-state unit; hp lanes are rebuilt from the
+    caller's lane dicts."""
+    from hyperbolic_vae_tpu.models import GyroplaneVAE
+
+    def hp_fn(hp):
+        return GyroplaneVAE(
+            data_shape=dm.input_shape, latent_dim=2,
+            manifold_curvature=hp["manifold_curvature"],
+        )
+
+    lanes = [{"manifold_curvature": 0.5}, {"manifold_curvature": 1.4}]
+
+    def sweep_trainer(ckpt=None, **kw):
+        return Trainer(
+            hp_fn(lanes[0]), hp_model_fn=hp_fn, max_epochs=4,
+            early_stopping_patience=None, plateau_patience=1000,
+            check_finite=False, checkpoint_dir=ckpt, **kw,
+        )
+
+    ref = sweep_trainer().fit_lane_sweep(dm, lanes, epochs_per_dispatch=2)
+    ckpt = str(tmp_path / "ck")
+    r = sweep_trainer(ckpt, max_wall_seconds=0).fit_lane_sweep(
+        dm, lanes, epochs_per_dispatch=2
+    )
+    assert all(x.interrupted for x in r) and [x.epochs_run for x in r] == [2, 2]
+    hist = [list(x.history) for x in r]
+    r = sweep_trainer(ckpt).fit_lane_sweep(
+        dm, lanes, epochs_per_dispatch=2, resume=True
+    )
+    assert not r[0].interrupted
+    for s in range(len(lanes)):
+        hist[s] += r[s].history
+        assert [h["epoch"] for h in hist[s]] == [0, 1, 2, 3]
+        np.testing.assert_allclose(
+            [h["val/loss_total"] for h in hist[s]],
+            [h["val/loss_total"] for h in ref[s].history],
+            rtol=0, atol=0,
+        )
+
+
+def test_ensemble_resume_seed_mismatch_raises(dm, tmp_path):
+    ckpt = str(tmp_path / "ck")
+    _trainer(dm, ckpt, max_epochs=4, max_wall_seconds=0).fit_ensemble(
+        dm, [0, 1], epochs_per_dispatch=2
+    )
+    with pytest.raises(ValueError, match="saved seeds"):
+        _trainer(dm, ckpt, max_epochs=4).fit_ensemble(
+            dm, [2, 3], epochs_per_dispatch=2, resume=True
+        )
+
+
+def test_ensemble_preempt_signal(dm, tmp_path):
+    """A preemption signal arriving during the sweep stops it at the next
+    chunk boundary with resume state saved."""
+    ckpt = str(tmp_path / "ck")
+    trainer = _trainer(
+        dm, ckpt, max_epochs=50, preempt_signals=(signal.SIGUSR1,),
+    )
+    # deliver the signal while the sweep runs (the handler is installed
+    # only inside fit_ensemble — a timer thread raises it mid-run; with
+    # 1-epoch chunks the loop checks the flag after every epoch)
+    import threading
+
+    threading.Timer(0.5, os.kill, (os.getpid(), signal.SIGUSR1)).start()
+    r = trainer.fit_ensemble(dm, [0, 1], epochs_per_dispatch=1)
+    assert all(x.interrupted and "SIGUSR1" in x.stop_reason for x in r)
+    assert all(x.epochs_run < 50 for x in r)

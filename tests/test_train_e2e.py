@@ -203,6 +203,32 @@ def test_eval_covers_full_split_including_tail():
     assert abs(got_s - float(x_test.mean())) < 1e-5
 
 
+def test_hbm_preflight_raises_actionable_error():
+    """A split that cannot fit in device memory must fail FAST at fit()
+    start with the remedy in the message (VERDICT r4 #6), instead of an
+    opaque XLA OOM minutes into a relay compile. The limit is injected;
+    a generous limit (or streaming small blocks) passes."""
+    import pytest
+
+    dm = make_data_module(batch_size=64, synthetic=True, n_train=320, n_test=96)
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+
+    def trainer(limit):
+        return Trainer(
+            model, max_epochs=1, early_stopping_patience=None,
+            plateau_patience=1000, check_finite=False, hbm_limit_bytes=limit,
+        )
+
+    with pytest.raises(RuntimeError, match="fit_streamed"):
+        trainer(2 * 2**20).fit(dm)  # 2 MiB: the 320x1024-f32 split alone exceeds it
+    r = trainer(16 * 2**30).fit(dm)  # a v5e's 16 GiB passes comfortably
+    assert np.isfinite(r.history[-1]["val/loss_total"])
+    # streaming shrinks the resident split to two blocks — the same fit
+    # passes under a limit the staged split would blow through
+    t = trainer(4 * 2**20)
+    t._hbm_preflight(dm, r.params, t._optimizer.init(r.params), stream_rows=64)
+
+
 def test_fit_val_metrics_cover_full_split_oracle():
     """Every engine's per-epoch val metrics are exact sample-weighted
     means over the WHOLE split — incl. the n_val % batch_size tail —
