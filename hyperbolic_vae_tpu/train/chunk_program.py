@@ -40,7 +40,8 @@ def init_ctrl(trainer, start_epoch: int = 0) -> dict:
     }
 
 
-def build_chunk_body(trainer, train_body, eval_full, k: int):
+def build_chunk_body(trainer, train_body, eval_full, k: int,
+                     masked_skip: bool = False):
     """The unjitted K-epoch chunk program over the shared epoch-body
     contract (epoch_program.build_epoch_fns' ``train_body``/``eval_full``).
 
@@ -48,6 +49,18 @@ def build_chunk_body(trainer, train_body, eval_full, k: int):
     FLOPs); the epoch counter freezes, which is how the host learns how
     many epochs actually ran. ``ctrl`` is the dict from init_ctrl,
     threaded through chunks.
+
+    ``masked_skip=True`` replaces the lax.cond with an unconditional
+    epoch whose OUTPUTS are masked by ``where(active, ...)`` — the
+    values that leave the epoch are bit-identical (the cond's do-branch
+    computes exactly these), only the skip cost model changes: the
+    masked form always pays the epoch FLOPs. Use it for the VMAPPED
+    ensemble program, where a batched-predicate cond cannot lower to a
+    real branch anyway (both branches execute and per-lane select
+    follows) — measured on-chip, the batched cond costs ~5x the bodies
+    it guards (benchmarks/ENSEMBLE_LAYOUT_AB.json, round 5); the masked
+    form gives the ensemble the same program shape the single-seed
+    chunk gets from its scalar cond.
     """
     if not trainer.monitor.startswith("val/"):
         raise ValueError(
@@ -116,9 +129,31 @@ def build_chunk_body(trainer, train_body, eval_full, k: int):
                 params, opt_state, *_ = args
                 return params, opt_state, nan_of(tms_shape), nan_of(vms_shape)
 
-            params, opt_state, tms, vms = jax.lax.cond(
-                active, do_epoch, skip_epoch, (params, opt_state, ek, vk, lr_used)
-            )
+            if masked_skip:
+                # unconditional epoch + output masking: identical values
+                # (the cond's do-branch computes exactly these), chosen
+                # for vmapped lanes where the batched cond is the cost
+                new_p, new_o, tms, vms = do_epoch(
+                    (params, opt_state, ek, vk, lr_used)
+                )
+                params = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_p, params
+                )
+                opt_state = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_o, opt_state
+                )
+                tms = jax.tree.map(
+                    lambda v, s: jnp.where(active, v, jnp.full(s.shape, jnp.nan, s.dtype)),
+                    tms, tms_shape,
+                )
+                vms = jax.tree.map(
+                    lambda v, s: jnp.where(active, v, jnp.full(s.shape, jnp.nan, s.dtype)),
+                    vms, vms_shape,
+                )
+            else:
+                params, opt_state, tms, vms = jax.lax.cond(
+                    active, do_epoch, skip_epoch, (params, opt_state, ek, vk, lr_used)
+                )
 
             # f32: the ctrl carry is f32 (host-mirror parity); an f64
             # monitored metric (drift-anchor leg) must not widen it

@@ -82,10 +82,17 @@ def _ens_chunk_fn(trainer, n_train: int, batch_size: int, n_val: int, k: int,
     key = (n_train, batch_size, n_val, k, n_seeds, hp_keys,
            trainer.lr_schedule, trainer.hp_schedule)
     if key not in cache:
-        trainer._chunk_fn(n_train, batch_size, n_val, k)  # fills the body cache
-        body = trainer._chunk_body_cache[
-            trainer._chunk_cache_key(n_train, batch_size, n_val, k)
-        ]
+        from hyperbolic_vae_tpu.train.chunk_program import build_chunk_body
+
+        trainer._epoch_fns(n_train, batch_size, n_val)  # fills _body_fns_cache
+        train_body, eval_full = trainer._body_fns_cache[(n_train, batch_size, n_val)]
+        # masked_skip: a vmapped (batched-predicate) lax.cond cannot
+        # lower to a real branch — on-chip it cost ~5x the epoch bodies
+        # it guards (benchmarks/ENSEMBLE_LAYOUT_AB.json, round 5). The
+        # masked form computes bit-identical VALUES (the cond's
+        # do-branch) with the same program shape the single-seed chunk
+        # gets from its scalar cond.
+        body = build_chunk_body(trainer, train_body, eval_full, k, masked_skip=True)
         hp_axes = None if hp_keys is None else {name: 0 for name in hp_keys}
         cache[key] = jax.jit(
             jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0, hp_axes)),

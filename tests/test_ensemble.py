@@ -311,6 +311,75 @@ def test_ensemble_rejects_unsupported_modes(dm):
         t.fit_ensemble(dm, [0, 1])
 
 
+def test_masked_skip_body_bitmatches_cond_body(dm):
+    """The vmapped ensemble uses build_chunk_body(masked_skip=True)
+    (unconditional epoch + where-masking) instead of the single-seed
+    chunk's lax.cond epoch skip, because a batched-predicate cond cannot
+    lower to a real branch and measured ~5x the bodies it guards on chip
+    (benchmarks/ENSEMBLE_LAYOUT_AB.json). Contract: EVERY output —
+    params, opt state, best params, controller state, carry keys, and
+    the full (K,) metric/lr rows INCLUDING the NaN rows past a lane's
+    stop (which fit_ensemble's host loop never reads) — is bit-identical
+    to the cond body, with lanes pre-stopped and stopping mid-chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperbolic_vae_tpu.train.chunk_program import build_chunk_body
+    from hyperbolic_vae_tpu.train.ensemble import _stack
+
+    K = 4
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=K, early_stopping_patience=2, plateau_patience=1,
+        epochs_per_dispatch=K, check_finite=False,
+    )
+    n_train, n_val = int(dm.x_train.shape[0]), int(dm.x_val.shape[0])
+    trainer._epoch_fns(n_train, dm.batch_size, n_val)
+    train_body, eval_full = trainer._body_fns_cache[(n_train, dm.batch_size, n_val)]
+    bodies = {
+        skip: build_chunk_body(trainer, train_body, eval_full, K, masked_skip=skip)
+        for skip in (False, True)
+    }
+
+    params_l, opt_l, ctrl_l, key_l = [], [], [], []
+    for s in SEEDS:
+        key = jax.random.PRNGKey(s)
+        key, init_key = jax.random.split(key)
+        p = trainer.init_params(dm.x_train, init_key)
+        params_l.append(p)
+        opt_l.append(trainer._optimizer.init(p))
+        key_l.append(key)
+        ctrl_l.append(trainer._init_ctrl())
+    ctrl = _stack(ctrl_l)
+    # lane 0: already stopped; lane 1: es_best=-inf with wait at the
+    # brink, so it stops after its FIRST epoch of this chunk (mid-chunk
+    # stop); lane 2 runs all K epochs
+    ctrl["stopped"] = jnp.asarray([True, False, False])
+    ctrl["es_best"] = ctrl["es_best"].at[1].set(-jnp.inf)
+    ctrl["es_wait"] = ctrl["es_wait"].at[1].set(1)
+    args = (
+        _stack(params_l), _stack(opt_l),
+        jax.tree.map(jnp.copy, _stack(params_l)), ctrl,
+        trainer._stage(dm.x_train), trainer._stage(dm.x_val),
+        jnp.stack(key_l), None,
+    )
+    outs = {
+        skip: jax.device_get(
+            jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, None, None, 0, None)))(*args)
+        )
+        for skip, body in bodies.items()
+    }
+    ctrl_cond = outs[False][3]
+    assert list(np.asarray(ctrl_cond["stopped"])) == [True, True, False]
+    assert list(np.asarray(ctrl_cond["epoch"])) == [0, 1, K]
+    # skipped-lane metric rows really are the NaN fill both ways
+    assert np.isnan(np.asarray(outs[False][5]["loss_total"][0])).all()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs[False], outs[True],
+    )
+
+
 def test_ensemble_ema_matches_sequential(dm):
     """Trainer(ema_decay=...) through fit_ensemble: each lane's EMA is
     returned and equals the sequential fit's (review finding: it used to
