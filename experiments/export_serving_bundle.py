@@ -69,4 +69,8 @@ if __name__ == "__main__":
         platforms=tuple(args.platforms),
     )
     n = len(list(Path(out).glob("*.stablehlo")))
-    print(f"exported {n} programs ({len(args.methods)} methods x {len(inf._buckets)} buckets) -> {out}")
+    print(
+        f"exported {n} programs ({len(args.methods)} methods x "
+        f"({len(inf._row_buckets)} row-buckets + {len(inf._buckets)} "
+        f"dispatch-buckets)) -> {out}"
+    )

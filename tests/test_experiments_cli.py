@@ -141,7 +141,9 @@ def test_export_serving_bundle_cli(tmp_path):
         cwd=EXP, env=env, capture_output=True, text=True, timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "exported 6 programs" in proc.stdout  # 3 methods x buckets {1, 2}
+    # 3 methods x (row buckets {1,2,4,8} + dispatch buckets {1,2}) —
+    # sub-batch row buckets are on by default (serve.py Inferencer)
+    assert "exported 18 programs" in proc.stdout
     import jax
     import numpy as np
 
