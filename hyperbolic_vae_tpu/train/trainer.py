@@ -294,7 +294,8 @@ class Trainer:
         self._epoch_fns_cache = {}
         self._body_fns_cache = {}  # unjitted bodies (filled by _build_epoch_fns)
         self._chunk_fn_cache = {}
-        self._chunk_body_cache = {}  # unjitted chunk bodies (for vmapped ensembles)
+        self._chunk_body_cache = {}  # unjitted cond-skip chunk bodies (probes; the
+        # vmapped ensemble builds its own masked-skip body, train/ensemble.py)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.metric_logger = MetricLogger(log_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -368,8 +369,7 @@ class Trainer:
 
     def _chunk_cache_key(self, n_train: int, batch_size: int, n_val: int, k: int):
         """Cache key for _chunk_fn_cache/_chunk_body_cache — the ONE
-        definition (train/ensemble.py and external probes index
-        _chunk_body_cache with it): the schedules' arithmetic is baked
+        definition (external probes index _chunk_body_cache with it): the schedules' arithmetic is baked
         into the traced program, so a different schedule callable must
         compile a different program."""
         return (n_train, batch_size, n_val, k, self.lr_schedule, self.hp_schedule)
@@ -379,7 +379,8 @@ class Trainer:
         extracted round 4): scan of (train epoch + full val eval +
         best-params tracking + IN-GRAPH controllers), bit-identical to
         the K=1 loop for ANY K. Cached per (shape, k, schedule); the
-        UNJITTED body is kept for train/ensemble.py to vmap."""
+        UNJITTED body is kept for probes (the vmapped ensemble builds its
+        own masked-skip body — train/ensemble.py _ens_chunk_fn)."""
         cache_key = self._chunk_cache_key(n_train, batch_size, n_val, k)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
