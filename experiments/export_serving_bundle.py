@@ -69,8 +69,15 @@ if __name__ == "__main__":
         platforms=tuple(args.platforms),
     )
     n = len(list(Path(out).glob("*.stablehlo")))
+    # generate is key-driven: it exports dispatch-bucket programs only
+    # (no row buckets — serve.py export_programs), so count it apart
+    n_gen = sum(m == "generate" for m in args.methods)
+    n_data = len(args.methods) - n_gen
     print(
-        f"exported {n} programs ({len(args.methods)} methods x "
+        f"exported {n} programs ({n_data} data methods x "
         f"({len(inf._row_buckets)} row-buckets + {len(inf._buckets)} "
-        f"dispatch-buckets)) -> {out}"
+        f"dispatch-buckets)"
+        + (f" + {n_gen} generate x {len(inf._buckets)} dispatch-buckets"
+           if n_gen else "")
+        + f") -> {out}"
     )

@@ -62,11 +62,16 @@ def build_chunk_body(trainer, train_body, eval_full, k: int,
     form gives the ensemble the same program shape the single-seed
     chunk gets from its scalar cond.
     """
-    if not trainer.monitor.startswith("val/"):
+    # the in-graph controllers/best tracking read the monitored metric
+    # from the chunk's own metric folds: val/* from the eval fold, or
+    # train/* from the train-epoch means (the deleted K=1 host loop read
+    # metrics.get(monitor) off the combined dict, which supported both)
+    mon_src, _, monitor_key = trainer.monitor.partition("/")
+    if mon_src not in ("val", "train") or not monitor_key:
         raise ValueError(
-            f"epochs_per_dispatch>1 requires a val/ monitor, got {trainer.monitor}"
+            "resident fits monitor an in-graph metric fold — monitor must "
+            f"be 'val/<metric>' or 'train/<metric>', got {trainer.monitor!r}"
         )
-    monitor_key = trainer.monitor.split("/", 1)[1]
     pl_factor = trainer._plateau_cfg["factor"]
     pl_patience = trainer._plateau_cfg["patience"]
     pl_min_lr = trainer._plateau_cfg["min_lr"]
@@ -157,7 +162,9 @@ def build_chunk_body(trainer, train_body, eval_full, k: int,
 
             # f32: the ctrl carry is f32 (host-mirror parity); an f64
             # monitored metric (drift-anchor leg) must not widen it
-            mon = vms[monitor_key].astype(jnp.float32)
+            mon = (tms if mon_src == "train" else vms)[monitor_key].astype(
+                jnp.float32
+            )
             finite = jnp.isfinite(mon) & active
             # best-model tracking (mirrors the K=1 host loop)
             better = finite & (mon < ctrl["best_val"])

@@ -34,9 +34,12 @@ Histories remain bit-identical to the unsharded (and sequential) runs:
 partitioning the seed axis does not touch any within-lane reduction
 order (tests/test_ensemble.py pins this on the virtual 8-device mesh).
 
-Not supported here (use sequential ``fit``): checkpointing, callbacks,
-resume, and the Trainer's own data/model mesh (the seed axis is the
-parallelism; DP/TP of tiny per-seed models would only add collectives).
+Preemption safety (round 5): with a Trainer checkpoint_dir the stacked
+(S, ...) state is checkpointed at every chunk boundary and
+``resume=True`` continues the sweep bit-identically (see fit_ensemble's
+docstring). Still not supported here (use sequential ``fit``): callbacks
+and the Trainer's own data/model mesh (the seed axis is the parallelism;
+DP/TP of tiny per-seed models would only add collectives).
 """
 
 from __future__ import annotations
@@ -143,8 +146,10 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         raise ValueError("fit_ensemble is single-device; it does not compose with a mesh")
     if trainer.callbacks:
         raise ValueError("fit_ensemble does not support callbacks")
-    if not trainer.monitor.startswith("val/"):
-        raise ValueError(f"fit_ensemble requires a val/ monitor, got {trainer.monitor}")
+    if trainer.monitor.partition("/")[0] not in ("val", "train"):
+        raise ValueError(
+            f"fit_ensemble requires a val/ or train/ monitor, got {trainer.monitor}"
+        )
     seeds = list(seeds)
     n_seeds = len(seeds)
     assert n_seeds >= 1
@@ -218,9 +223,20 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         }
 
     # ---- resume (round 5): restore the stacked state saved at the last
-    # chunk boundary and continue on the same chunk grid. hp_stack is NOT
-    # saved — it is a pure function of the caller's lanes (like fit()'s
-    # resume trusts the caller to rebuild the same model).
+    # chunk boundary and continue on the same chunk grid. hp_stack values
+    # are not restored (they are a pure function of the caller's lanes),
+    # but their FINGERPRINT is validated: lane sweeps default every
+    # lane's seed to trainer.seed, so a seeds-only check is vacuous
+    # there — a changed hyperparameter grid would silently resume the
+    # old grid's stacked state (round-5 review finding).
+    lane_fingerprint = None
+    if lane_hparams is not None:
+        lane_fingerprint = [
+            {name: float(h[name]) for name in hp_keys} for h in lane_hparams
+        ]
+        if lane_lrs is not None:
+            for row, lr in zip(lane_fingerprint, lane_lrs):
+                row["lr"] = float(lr)
     start_chunk = 0
     mgr = trainer._ckpt_mgr
     if resume and mgr is not None and mgr.has_state("ensemble_state"):
@@ -236,10 +252,27 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
                     f"ensemble resume: saved seeds {saved_seeds} != "
                     f"requested {list(seeds)}"
                 )
+            saved_lanes = meta.get("lanes", None)
+            if saved_lanes != lane_fingerprint:
+                raise ValueError(
+                    f"ensemble resume: saved lane hparams {saved_lanes} != "
+                    f"requested {lane_fingerprint} — resuming a different "
+                    f"grid against this checkpoint would silently train "
+                    f"the old grid's state under the new hyperparameters"
+                )
             params, opt_state = state["params"], state["opt_state"]
             best_params, ctrl, keys = state["best_params"], state["ctrl"], state["keys"]
             start_chunk = int(meta.get("chunk_next", 0))
 
+    # fail fast before staging/compiling: the S-lane stacked state is the
+    # highest-memory fit path (VERDICT r4 #6 applies here MORE than to
+    # fit(); a seed mesh divides the stacked state across its devices,
+    # and the vmapped body runs S/devices lanes' activations per device)
+    n_state_shards = seed_mesh.size if seed_mesh is not None else 1
+    trainer._hbm_preflight(
+        dm, params, opt_state, None,
+        state_shards=n_state_shards, act_lanes=n_seeds // n_state_shards,
+    )
     x_train = trainer._stage(dm.x_train)
     x_val = trainer._stage(dm.x_val)
     if seed_mesh is not None:
@@ -266,6 +299,7 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
     # (fresh ctrl: epoch=0, best_val=inf — identical to the old init)
     best_metric = [float(v) for v in ctrl_host["best_val"]]
     epochs_run = [int(e) for e in ctrl_host["epoch"]]
+    session_epochs = 0  # epochs executed by THIS call (resume excludes prior ones)
     total_samples = 0
     t_start = None
     ran_any_chunk = False
@@ -297,6 +331,7 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
             t_start = time.perf_counter()  # exclude the compile chunk
         for s in range(n_seeds):
             epochs_this = int(ctrl_host["epoch"][s]) - epochs_run[s]
+            session_epochs += epochs_this
             if not first_chunk:
                 total_samples += samples_per_epoch * epochs_this
             for i in range(epochs_this):
@@ -319,7 +354,8 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
                 {"params": params, "opt_state": opt_state,
                  "best_params": best_params, "ctrl": ctrl, "keys": keys},
                 {"chunk_next": chunk_start + k_eff,
-                 "seeds": [int(s) for s in seeds]},
+                 "seeds": [int(s) for s in seeds],
+                 "lanes": lane_fingerprint},
                 name="ensemble_state",
             )
         if all_stopped:
@@ -338,7 +374,7 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
     if mgr is not None:
         mgr.wait_until_finished()
     if (total_samples == 0 and single_dispatch and ran_any_chunk
-            and any(e > 0 for e in epochs_run)):
+            and session_epochs > 0):
         # replay the now-compiled chunk on a copy of the initial state
         # (inputs are donated) purely to time it; results are discarded
         p0, o0, b0, c0, k0 = jax.tree.map(jnp.copy, init_state)
@@ -346,7 +382,10 @@ def fit_ensemble(trainer, dm: ArrayDataModule, seeds: Sequence[int],
         out = replay_fn(p0, o0, b0, c0, x_train, x_val, k0, hp_stack)
         jax.device_get(out[3])  # ctrl: forces completion on axon
         elapsed = max(time.perf_counter() - t0, 1e-9)
-        total_samples = samples_per_epoch * sum(epochs_run)
+        # the replay re-executes only THIS session's one chunk — on a
+        # resumed sweep epochs_run also counts pre-resume epochs the
+        # replay never ran, which would inflate samples_per_sec
+        total_samples = samples_per_epoch * session_epochs
     else:
         elapsed = max(time.perf_counter() - t_start, 1e-9) if t_start else 1e-9
     agg_sps = total_samples / elapsed if total_samples else 0.0

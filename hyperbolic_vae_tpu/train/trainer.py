@@ -122,9 +122,9 @@ class Trainer:
         # chunk boundaries; profile_dir traces the second dispatch.
         # Round 5: this is THE resident-data engine — plain fit() is
         # K=1 through the same chunk program (VERDICT r4 #5); the
-        # separate K=1 host loop is gone. Resident fits therefore
-        # require a val/ monitor (the in-graph controllers monitor the
-        # val eval fold); fit_streamed keeps the host-driven loop.
+        # separate K=1 host loop is gone. Resident fits monitor either
+        # in-graph fold (val/<m> from the eval fold, train/<m> from the
+        # train-epoch means); fit_streamed keeps the host-driven loop.
         assert epochs_per_dispatch >= 1
         self.epochs_per_dispatch = int(epochs_per_dispatch)
         # gradient accumulation: the effective (optimizer-step) batch is
@@ -438,7 +438,8 @@ class Trainer:
             self._stream_rows = None
 
     def _hbm_preflight(self, dm: ArrayDataModule, params, opt_state,
-                       stream_rows: Optional[int]) -> None:
+                       stream_rows: Optional[int], *,
+                       state_shards: int = 1, act_lanes: int = 1) -> None:
         """Fail FAST with an actionable error before staging/compiling
         when the fit cannot fit in device memory (VERDICT r4 #6 — XLA's
         OOM surfaces as an opaque relay error minutes into the compile).
@@ -450,7 +451,13 @@ class Trainer:
         the dryrun's shard-shape byte accounting (__graft_entry__.py).
         The limit comes from ``hbm_limit_bytes`` (tests) or the
         device's memory_stats; preflight is skipped when neither is
-        available (CPU backends often expose no limit)."""
+        available (CPU backends often expose no limit).
+
+        Ensemble sweeps (the highest-memory path: S stacked lanes of
+        params+moments+best) pass the STACKED pytrees plus
+        ``state_shards`` (seed-mesh device count dividing the stacked
+        state) and ``act_lanes`` (lanes per device multiplying the
+        activation floor)."""
         limit = self._hbm_limit_bytes
         if limit is None:
             try:
@@ -481,10 +488,10 @@ class Trainer:
             split = int(dm.x_train.shape[0]) * row_bytes
         split += int(np.prod(dm.x_val.shape)) * 4
         split = -(-split // n_data)  # sharded over the data axis
-        p = per_device_bytes(params)
-        o = per_device_bytes(opt_state)  # moments (+ EMA when enabled)
+        p = per_device_bytes(params) // state_shards
+        o = per_device_bytes(opt_state) // state_shards  # moments (+ EMA)
         micro = dm.batch_size // max(self.grad_accum_steps, 1)
-        act = 3 * micro * row_bytes  # input + recon + grad floor
+        act = 3 * micro * row_bytes * act_lanes  # input + recon + grad floor
         total = split + 2 * p + o + act  # 2*p: live + in-graph best copy
         if total > limit:
             gib = 2**30

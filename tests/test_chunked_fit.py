@@ -162,13 +162,41 @@ def test_chunked_best_params_is_best_epoch(dm):
     assert r.best_metric == best_hist
 
 
-def test_chunked_requires_val_monitor(dm):
+def test_train_monitor_resident_fit(dm, tmp_path):
+    """monitor='train/...' worked in the pre-round-5 K=1 host loop (it
+    read the combined metric dict); the chunk program must keep it:
+    in-graph controllers/best tracking read the TRAIN metric fold, K>1
+    bit-matches K=1, and the best checkpoint label agrees with the host
+    scan (the _fit_chunked assertion runs when a checkpoint_dir is set)."""
+
+    def fit(k):
+        model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+        trainer = Trainer(
+            model, max_epochs=6, monitor="train/loss_total",
+            epochs_per_dispatch=k, early_stopping_patience=4,
+            plateau_patience=2, check_finite=False,
+            checkpoint_dir=str(tmp_path / f"k{k}"),
+        )
+        return trainer.fit(dm)
+
+    r1, r3 = fit(1), fit(3)
+    for r in (r1, r3):
+        assert r.best_metric == min(h["train/loss_total"] for h in r.history)
+    np.testing.assert_allclose(
+        [h["train/loss_total"] for h in r1.history],
+        [h["train/loss_total"] for h in r3.history],
+        rtol=0, atol=0,
+    )
+    assert [h["lr"] for h in r1.history] == [h["lr"] for h in r3.history]
+
+
+def test_monitor_must_name_an_in_graph_fold(dm):
     model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
     trainer = Trainer(
-        model, max_epochs=2, monitor="train/loss_total",
-        epochs_per_dispatch=2, early_stopping_patience=None,
+        model, max_epochs=2, monitor="test/loss_total",
+        early_stopping_patience=None,
     )
-    with pytest.raises(ValueError, match="val/ monitor"):
+    with pytest.raises(ValueError, match="val/|train/"):
         trainer.fit(dm)
 
 

@@ -311,6 +311,26 @@ def test_ensemble_rejects_unsupported_modes(dm):
         t.fit_ensemble(dm, [0, 1])
 
 
+def test_ensemble_hbm_preflight_raises(dm):
+    """fit_ensemble stages S stacked lanes of params+moments+best — the
+    highest-memory fit path — so it must run the HBM preflight too and
+    fail fast with the actionable message (round-5 review finding; the
+    original preflight only covered _fit_impl)."""
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    t = Trainer(
+        model, max_epochs=2, check_finite=False,
+        hbm_limit_bytes=2 * 2**20,  # the 320x1024-f32 split alone exceeds it
+    )
+    with pytest.raises(RuntimeError, match="fit_streamed"):
+        t.fit_ensemble(dm, [0, 1])
+    t = Trainer(
+        model, max_epochs=2, check_finite=False,
+        hbm_limit_bytes=16 * 2**30,
+    )
+    r = t.fit_ensemble(dm, [0, 1])
+    assert len(r) == 2
+
+
 def test_masked_skip_body_bitmatches_cond_body(dm):
     """The vmapped ensemble uses build_chunk_body(masked_skip=True)
     (unconditional epoch + where-masking) instead of the single-seed

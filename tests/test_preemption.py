@@ -209,6 +209,50 @@ def test_lane_sweep_resume_bitmatch(dm, tmp_path):
         )
 
 
+def test_lane_sweep_resume_grid_mismatch_raises(dm, tmp_path):
+    """A CHANGED hyperparameter grid must not silently resume the old
+    grid's stacked state: fit_lane_sweep defaults every lane's seed to
+    trainer.seed, so the seeds-only resume check is vacuous for grids —
+    the lane hparams themselves are fingerprinted in the resume
+    metadata (round-5 review finding)."""
+    from hyperbolic_vae_tpu.models import GyroplaneVAE
+
+    def hp_fn(hp):
+        return GyroplaneVAE(
+            data_shape=dm.input_shape, latent_dim=2,
+            manifold_curvature=hp["manifold_curvature"],
+        )
+
+    def sweep_trainer(**kw):
+        return Trainer(
+            hp_fn({"manifold_curvature": 1.0}), hp_model_fn=hp_fn,
+            max_epochs=4, early_stopping_patience=None,
+            plateau_patience=1000, check_finite=False,
+            checkpoint_dir=str(tmp_path / "ck"), **kw,
+        )
+
+    grid_a = [{"manifold_curvature": 0.5}, {"manifold_curvature": 1.4}]
+    grid_b = [{"manifold_curvature": 2.0}, {"manifold_curvature": 3.0}]
+    sweep_trainer(max_wall_seconds=0).fit_lane_sweep(
+        dm, grid_a, epochs_per_dispatch=2
+    )
+    with pytest.raises(ValueError, match="lane hparams"):
+        sweep_trainer().fit_lane_sweep(
+            dm, grid_b, epochs_per_dispatch=2, resume=True
+        )
+    # per-lane lr is part of the fingerprint too
+    with pytest.raises(ValueError, match="lane hparams"):
+        sweep_trainer().fit_lane_sweep(
+            dm, [dict(l, lr=9e-4) for l in grid_a],
+            epochs_per_dispatch=2, resume=True,
+        )
+    # the unchanged grid still resumes
+    r = sweep_trainer().fit_lane_sweep(
+        dm, grid_a, epochs_per_dispatch=2, resume=True
+    )
+    assert [x.epochs_run for x in r] == [4, 4]
+
+
 def test_ensemble_resume_seed_mismatch_raises(dm, tmp_path):
     ckpt = str(tmp_path / "ck")
     _trainer(dm, ckpt, max_epochs=4, max_wall_seconds=0).fit_ensemble(
