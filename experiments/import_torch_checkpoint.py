@@ -27,15 +27,23 @@ from common import REPO_ROOT  # noqa: F401 (import fixes sys.path)
 from hyperbolic_vae_tpu.interop import import_torch_state_dict, load_torch_state_dict
 
 
-def load_lightning_hparams(path: Path) -> dict:
+def load_lightning_hparams(path: Path, allow_unsafe_pickle: bool = False) -> dict:
     """Lightning embeds save_hyperparameters() output in the .ckpt
-    (reference vae_hyperbolic.py:145-153); .npz exports don't have it."""
+    (reference vae_hyperbolic.py:145-153); .npz exports don't have it.
+    Full-pickle loading (which executes code embedded in the file) is
+    opt-in via ``allow_unsafe_pickle`` — same policy as
+    interop.load_torch_state_dict."""
     if path.suffix == ".npz":
         return {}
     try:
         import torch
 
-        raw = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            if not allow_unsafe_pickle:
+                return {}
+            raw = torch.load(path, map_location="cpu", weights_only=False)
         hp = raw.get("hyper_parameters", {}) if isinstance(raw, dict) else {}
         return {k: v for k, v in hp.items() if isinstance(v, (int, float, str, bool, list, tuple))}
     except Exception:
@@ -189,6 +197,12 @@ def main():
     p.add_argument("--loss-recon", type=str, default="mse",
                    choices=["mse", "bernoulli"])
     p.add_argument("--log-level", type=str, default="INFO")
+    p.add_argument(
+        "--allow-unsafe-pickle", action="store_true",
+        help="permit full-pickle torch.load for ckpts the weights-only "
+        "unpickler rejects (EXECUTES code embedded in the file — only "
+        "for checkpoints you produced yourself)",
+    )
     args = p.parse_args()
 
     if os.environ.get("HVAE_FORCE_CPU"):
@@ -202,8 +216,8 @@ def main():
     configure_handler_for_script(args.log_level)
 
     src = Path(args.checkpoint)
-    sd = load_torch_state_dict(src)
-    hp = load_lightning_hparams(src)
+    sd = load_torch_state_dict(src, allow_unsafe_pickle=args.allow_unsafe_pickle)
+    hp = load_lightning_hparams(src, allow_unsafe_pickle=args.allow_unsafe_pickle)
     family = args.model or detect_family(sd)
     model = build_model(family, sd, hp, args)
     params = import_torch_state_dict(model, sd)

@@ -70,11 +70,17 @@ __all__ = ["load_torch_state_dict", "import_torch_state_dict"]
 # loading
 
 
-def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path, allow_unsafe_pickle: bool = False) -> Dict[str, np.ndarray]:
     """A flat {param_name: float ndarray} dict from a .npz export, a raw
     torch-saved state_dict, or a Lightning .ckpt (unwraps "state_dict",
     strips the experiment-wrapper prefix: VAEEuclideanExperiment stores
-    the net under ``vae.``, VAEHyperbolicExperiment under ``model.``)."""
+    the net under ``vae.``, VAEHyperbolicExperiment under ``model.``).
+
+    ``allow_unsafe_pickle``: some Lightning ckpts carry non-tensor
+    metadata the weights-only unpickler rejects; loading them requires
+    full pickle, which EXECUTES code embedded in the file. That fallback
+    is therefore opt-in — enable it only for checkpoints you produced
+    yourself (a silent fallback would nullify weights_only entirely)."""
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as z:
@@ -84,10 +90,16 @@ def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
 
         try:
             raw = torch.load(path, map_location="cpu", weights_only=True)
-        except Exception:
-            # Lightning ckpts carry non-tensor metadata that the
-            # weights-only unpickler rejects; the checkpoint is the
-            # user's own artifact
+        except Exception as e:
+            if not allow_unsafe_pickle:
+                raise ValueError(
+                    f"{path} is not loadable with torch.load(weights_only="
+                    f"True) ({e}). If this checkpoint is YOUR OWN artifact "
+                    f"(e.g. a Lightning ckpt with non-tensor metadata), "
+                    f"pass allow_unsafe_pickle=True — full pickle executes "
+                    f"code embedded in the file, so never enable it for "
+                    f"files from untrusted sources."
+                ) from e
             raw = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(raw, dict) and "state_dict" in raw:
             raw = raw["state_dict"]
@@ -198,6 +210,11 @@ def _import_gyroplane(model, sd):
         )
     enc_idx = _linear_indices(sd, "encoder")
     dec_idx = _linear_indices(sd, "decoder")
+    if not dec_idx:
+        raise ValueError(
+            "no decoder Linear layers found in the source state_dict "
+            "(expected decoder.{2,4,...} after the decoder.0 gyroplanes)"
+        )
     if len(enc_idx) != len(model.hidden_dims):
         raise ValueError(
             f"encoder has {len(enc_idx)} Linear layers, model.hidden_dims "
@@ -235,7 +252,15 @@ def _import_unified(model, sd):
     else:
         p["dec_first"] = _lin(sd, "decoder.0")
     dec_idx = [i for i in _linear_indices(sd, "decoder") if i != 0]
-    p["dec_out"] = _lin(sd, f"decoder.{dec_idx[-1]}")
+    # the vae_one_b decoder is exactly [first op, act, Linear] — a
+    # source with more (or no) trailing Linears is a different
+    # architecture; importing a subset would silently drop weights
+    if len(dec_idx) != 1:
+        raise ValueError(
+            f"expected exactly one decoder Linear after decoder.0 "
+            f"(vae_one_b.py decoder layout), found indices {dec_idx}"
+        )
+    p["dec_out"] = _lin(sd, f"decoder.{dec_idx[0]}")
     return p
 
 
@@ -367,6 +392,21 @@ _IMPORTERS: Dict[str, Callable] = {
 # entry point
 
 
+class _TrackedDict(dict):
+    """state_dict wrapper recording which keys an importer actually READ
+    (membership probes and iteration don't count — only consumed
+    weights do), so unconsumed source weights fail loudly instead of
+    being silently dropped."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
 def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
     """Map a reference torch state_dict onto ``model``'s parameter tree.
 
@@ -374,15 +414,25 @@ def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
     Trainer, serve.Inferencer, and checkpoints all carry params without
     the ``{"params": ...}`` wrapper; wrap for a raw ``model.apply``).
     Every produced leaf is validated against the model's own init
-    structure (name-for-name, shape-for-shape) so a mismatched
-    architecture fails loudly, never silently."""
+    structure (name-for-name, shape-for-shape) AND every source weight
+    must be consumed by the mapping, so a mismatched architecture fails
+    loudly in either direction, never silently."""
     name = type(model).__name__
     if name not in _IMPORTERS:
         raise ValueError(
             f"no torch importer for model class {name!r}; supported: "
             f"{sorted(_IMPORTERS)}"
         )
-    built = _IMPORTERS[name](model, sd)
+    tracked = _TrackedDict(sd)
+    built = _IMPORTERS[name](model, tracked)
+    unconsumed = sorted(set(tracked) - tracked.read)
+    if unconsumed:
+        raise ValueError(
+            f"source weights not consumed by the {name} importer: "
+            f"{unconsumed} — the checkpoint's architecture has layers "
+            f"the target model does not (importing a subset would "
+            f"silently drop them)"
+        )
 
     from hyperbolic_vae_tpu.serve import model_data_shape
 

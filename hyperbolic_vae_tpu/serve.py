@@ -111,6 +111,13 @@ class Inferencer:
             params = jax.device_put(params, replicated(mesh))
         self.params = params  # resident, never donated
         self._compiled = {}
+        # guards the check-then-insert on _compiled: /v1/generate (and
+        # library users) may build programs from multiple request
+        # threads — two racing builders would each trace a DISTINCT jit
+        # object and pay the seconds-to-minutes relay compile twice
+        import threading
+
+        self._compile_lock = threading.Lock()
         # k-batch requests are bucketed to powers of two up to this cap,
         # so the compile cache holds at most log2(cap)+1 programs per
         # method no matter how ragged the request stream is (each compile
@@ -321,32 +328,34 @@ class Inferencer:
         """Compiled (params, key) -> one generated batch. The key is a
         legacy uint32[2] PRNG key ARRAY (not an opaque typed key), so the
         same program exports to a StableHLO bundle unchanged."""
-        if "generate" not in self._compiled:
-            model, b = self.model, self.batch_size
-            out_dtype = self.io_dtype  # generate output is data-shaped
+        with self._compile_lock:
+            if "generate" not in self._compiled:
+                model, b = self.model, self.batch_size
+                out_dtype = self.io_dtype  # generate output is data-shaped
 
-            def apply(params, key):
-                out = model.apply(
-                    {"params": params}, b, method="generate",
-                    rngs={"sample": key},
-                )
-                return (out if out_dtype is None
-                        else jax.tree.map(lambda a: a.astype(out_dtype), out))
+                def apply(params, key):
+                    out = model.apply(
+                        {"params": params}, b, method="generate",
+                        rngs={"sample": key},
+                    )
+                    return (out if out_dtype is None
+                            else jax.tree.map(lambda a: a.astype(out_dtype), out))
 
-            self._compiled["generate"] = jax.jit(apply)
-        return self._compiled["generate"]
+                self._compiled["generate"] = jax.jit(apply)
+            return self._compiled["generate"]
 
     def _gen_fn_k(self, k: int):
         assert k > 1
         key = ("generate", k)
-        if key not in self._compiled:
-            apply = self._gen_fn()
+        apply = self._gen_fn()
+        with self._compile_lock:
+            if key not in self._compiled:
 
-            def apply_k(params, keys):
-                return jax.lax.map(lambda kk: apply(params, kk), keys)
+                def apply_k(params, keys):
+                    return jax.lax.map(lambda kk: apply(params, kk), keys)
 
-            self._compiled[key] = jax.jit(apply_k)
-        return self._compiled[key]
+                self._compiled[key] = jax.jit(apply_k)
+            return self._compiled[key]
 
     def generate(self, n: int, seed: int = 0) -> np.ndarray:
         """n decoded latent-prior samples (models/sampling.py), served

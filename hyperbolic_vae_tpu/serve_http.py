@@ -381,7 +381,10 @@ class InferenceServer:
                     )
                 elif self.path.split("?")[0] == "/v1/metrics":
                     snap = server.metrics.snapshot()
-                    snap["programs"] = server.inferencer.n_programs
+                    # same definition as /v1/health: all registry engines
+                    snap["programs"] = sum(
+                        e.n_programs for e in server.engines.values()
+                    )
                     if server.dispatcher is not None:
                         snap["dispatch_groups"] = server.dispatcher.n_dispatches
                         snap["requests_served"] = server.dispatcher.n_requests
@@ -410,6 +413,18 @@ class InferenceServer:
                         raise ValueError(
                             f"n must be in [1, {server.max_generate_rows}]"
                         )
+                    # validate the reply wire dtype BEFORE paying for
+                    # inference (same policy as do_POST: silently
+                    # serving f32 to a client that asked for another
+                    # dtype makes it misparse the reply buffer)
+                    accept = (self.headers.get("Accept") or "").split(";")[0]
+                    wd = (self.headers.get("X-Dtype") or "float32").strip()
+                    if accept == "application/octet-stream" and wd not in (
+                        "float32", "float16",
+                    ):
+                        raise ValueError(
+                            f"X-Dtype must be float32 or float16, got {wd!r}"
+                        )
                 except Exception as e:
                     server.metrics.error("bad_request")
                     self._reply_json(400, {"error": f"bad request: {e}"})
@@ -422,9 +437,11 @@ class InferenceServer:
                     else:
                         with server._device_lock:
                             out = engine.generate(n, seed)
-                except KeyError as e:
-                    # a bundle exported without generate programs: a
-                    # capability gap, not a server fault
+                except (KeyError, AttributeError, NotImplementedError) as e:
+                    # capability gap, not a server fault: a bundle
+                    # exported without generate programs (KeyError) or a
+                    # live model family with no generate method
+                    # (AttributeError from model.apply)
                     server.metrics.error("bad_request")
                     self._reply_json(404, {"error": f"generate unavailable: {e}"})
                     return
@@ -436,12 +453,11 @@ class InferenceServer:
                     "generate" if model is None else f"{model}/generate",
                     n, time.perf_counter() - t_start,
                 )
-                accept = (self.headers.get("Accept") or "").split(";")[0]
                 if accept == "application/octet-stream":
                     # raw reply for bulk sampling — tolist()+JSON on
                     # tens of MB of pixels is request-thread poison;
-                    # X-Dtype: float16 halves the reply wire
-                    wd = (self.headers.get("X-Dtype") or "float32").strip()
+                    # X-Dtype: float16 halves the reply wire (validated
+                    # with the request above)
                     wire = np.dtype("<f2" if wd == "float16" else "<f4")
                     a = np.ascontiguousarray(out, wire)
                     self._reply(
@@ -512,6 +528,16 @@ class InferenceServer:
                     else:
                         with server._device_lock:
                             out = _to_arrays(getattr(engine, name)(x))
+                except (KeyError, NotImplementedError) as e:
+                    # capability gap (e.g. a bundle exported without this
+                    # method's programs), not a server fault — mirror the
+                    # generate endpoint's 404 so clients can tell the two
+                    # apart and the error metric stays meaningful
+                    server.metrics.error("bad_request")
+                    self._reply_json(
+                        404, {"error": f"{name} unavailable on this engine: {e}"}
+                    )
+                    return
                 except Exception as e:
                     server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})
@@ -558,6 +584,7 @@ class InferenceServer:
         }
 
     def start(self) -> "InferenceServer":
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -565,10 +592,15 @@ class InferenceServer:
         return self
 
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
     def shutdown(self):
-        self._httpd.shutdown()
+        # BaseServer.shutdown blocks on an event only serve_forever's
+        # finally sets — calling it when the serve loop never started
+        # (cleanup after a failed startup) would deadlock forever
+        if getattr(self, "_serving", False):
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

@@ -551,3 +551,51 @@ def test_generate_raw_reply_and_manifest_truth(served):
         shape = tuple(int(s) for s in r.headers["X-Shape"].split(","))
         out = np.frombuffer(r.read(), "<f4").reshape(shape)
     np.testing.assert_allclose(out, inf.generate(2, seed=1), atol=1e-6)
+
+
+def test_capability_gap_404_wire_400_and_shutdown_before_start(served, tmp_path):
+    """Round-5 review findings: (1) a bundle exported without a method
+    answers 404 (capability gap), not 500 inference_failed; (2) an
+    invalid X-Dtype on /v1/generate is rejected 400 up front like
+    do_POST's; (3) shutdown() on a server whose serve loop never
+    started returns instead of deadlocking on socketserver's
+    __is_shut_down event."""
+    import time as _time
+
+    from hyperbolic_vae_tpu.serve import ExportedInferencer
+
+    dm, inf, server = served
+    bundle = inf.export_programs(
+        tmp_path / "bundle_recon_only", methods=("reconstruct",),
+        platforms=("cpu",),
+    )
+    exp = ExportedInferencer.load(bundle)
+    s2 = InferenceServer(exp, port=0).start()
+    try:
+        req = urllib.request.Request(
+            _url(s2, "/v1/encode"),
+            data=json.dumps({"data": dm.x_train[:4].tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 404
+        assert "unavailable" in json.loads(e.value.read())["error"]
+    finally:
+        s2.shutdown()
+
+    req = urllib.request.Request(
+        _url(server, "/v1/generate"),
+        data=json.dumps({"n": 4}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Accept": "application/octet-stream",
+                 "X-Dtype": "bfloat16"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    s3 = InferenceServer(inf, port=0)  # never started
+    t0 = _time.monotonic()
+    s3.shutdown()
+    assert _time.monotonic() - t0 < 5.0

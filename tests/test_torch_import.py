@@ -578,3 +578,42 @@ def test_export_loads_into_torch_module():
         mu_t, scale_t = t.encode(torch.from_numpy(x.copy()))
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(scale_j), scale_t.numpy(), atol=1e-5)
+
+
+def test_unconsumed_source_weights_raise():
+    """Round-5 review finding: an importer must never silently drop
+    source weights. Extra decoder Linears hit the layout check; extra
+    non-Sequential heads hit the consumed-keys audit."""
+    torch.manual_seed(8)
+    t = _TorchOneB(features=20, hidden=8, latent=2)
+    model = RNASeqVAE(in_features=20, hidden_dim=8, latent_dim=2)
+
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    sd["decoder.4.weight"] = np.zeros((20, 20), np.float32)
+    sd["decoder.4.bias"] = np.zeros((20,), np.float32)
+    with pytest.raises(ValueError, match="one decoder Linear"):
+        import_torch_state_dict(model, sd)
+
+    sd2 = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    sd2["aux_head.weight"] = np.zeros((3, 20), np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        import_torch_state_dict(model, sd2)
+
+
+def test_unsafe_pickle_fallback_is_opt_in(tmp_path):
+    """weights_only=True failures must NOT silently fall back to full
+    pickle (which executes code embedded in the file) — the fallback
+    requires allow_unsafe_pickle=True (round-5 review finding)."""
+    import argparse
+
+    torch.manual_seed(9)
+    t = _TorchOneB(features=20, hidden=8, latent=2)
+    path = tmp_path / "meta.ckpt"
+    # Namespace is not on the weights-only allowlist -> load rejects it
+    torch.save(
+        {"state_dict": t.state_dict(), "meta": argparse.Namespace(x=1)}, path
+    )
+    with pytest.raises(ValueError, match="allow_unsafe_pickle"):
+        load_torch_state_dict(path)
+    loaded = load_torch_state_dict(path, allow_unsafe_pickle=True)
+    assert set(loaded) == set(t.state_dict())
