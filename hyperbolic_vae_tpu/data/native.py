@@ -92,9 +92,13 @@ def read_csv_matrix(
     header line and leading index column(s) — the TPM CSV layout.
 
     Malformed-input contract (tests/test_native.py adversarial suite):
-    RFC-4180 quoted fields (embedded commas/quotes) and CRLF line endings
-    parse identically to pandas; unparseable VALUES ("NA", "", junk)
-    become NaN; structurally ragged ROWS raise RuntimeError."""
+    RFC-4180 quoted fields with embedded commas/quotes and CRLF line
+    endings parse identically to pandas; unparseable VALUES ("NA", "",
+    junk) become NaN; structurally ragged ROWS raise RuntimeError.
+    Known limit: a quoted field containing an embedded NEWLINE (legal
+    RFC-4180, accepted by pandas) is split by the physical-line scanner
+    and rejected as a ragged row — loud, never a silent mis-parse; route
+    such files through the pandas fallback."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built; run `make -C native`")

@@ -407,6 +407,18 @@ class _TrackedDict(dict):
         return super().__getitem__(k)
 
 
+_CURVATURE_LEAVES = ("k", "c", "isp_k", "isp_c")
+
+
+def _model_curvature(model):
+    """The target model's ball curvature c (>0), or None for Euclidean."""
+    for attr in ("manifold_curvature", "latent_curvature", "curvature"):
+        v = getattr(model, attr, None)
+        if v:
+            return float(v)
+    return None
+
+
 def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
     """Map a reference torch state_dict onto ``model``'s parameter tree.
 
@@ -425,7 +437,37 @@ def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
         )
     tracked = _TrackedDict(sd)
     built = _IMPORTERS[name](model, tracked)
-    unconsumed = sorted(set(tracked) - tracked.read)
+    leftover = set(tracked) - tracked.read
+    # geoopt registers the ball's curvature as an nn.Parameter
+    # (Stereographic stores k = -c), so every authentic checkpoint
+    # carries scalar curvature entries under each module holding the
+    # manifold — ``manifold.k``, ``decoder.0.ball.k``, ``mu.1.manifold.k``
+    # etc. (reference vae_hyperbolic.py:56, vae_hyperbolic_gyroplane_
+    # decoder.py:58 assign the ball as a submodule). They are geometry
+    # hyperparameters, not weights: validate them against the target
+    # model's curvature instead of rejecting them as unconsumed.
+    curv_keys = {
+        k
+        for k in leftover
+        if k.split(".")[-1] in _CURVATURE_LEAVES
+        and np.asarray(dict.__getitem__(tracked, k)).size == 1
+    }
+    c_model = _model_curvature(model)
+    for k in sorted(curv_keys):
+        c_src = abs(float(np.asarray(dict.__getitem__(tracked, k)).reshape(())))
+        if c_model is None:
+            raise ValueError(
+                f"source checkpoint carries a manifold curvature parameter "
+                f"{k!r} (c={c_src}) but the target {name} has a Euclidean "
+                f"latent — wrong source/target pairing"
+            )
+        if not np.isclose(c_src, c_model, rtol=1e-5, atol=1e-8):
+            raise ValueError(
+                f"source curvature {k!r} is {c_src} but the target {name} "
+                f"was constructed with curvature {c_model}; rebuild the "
+                f"target with the checkpoint's curvature"
+            )
+    unconsumed = sorted(leftover - curv_keys)
     if unconsumed:
         raise ValueError(
             f"source weights not consumed by the {name} importer: "

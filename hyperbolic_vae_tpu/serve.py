@@ -33,6 +33,7 @@ builds one straight from a self-describing Orbax checkpoint
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -111,13 +112,14 @@ class Inferencer:
             params = jax.device_put(params, replicated(mesh))
         self.params = params  # resident, never donated
         self._compiled = {}
-        # guards the check-then-insert on _compiled: /v1/generate (and
+        # guards the check-then-insert on _compiled: endpoints (and
         # library users) may build programs from multiple request
         # threads — two racing builders would each trace a DISTINCT jit
-        # object and pay the seconds-to-minutes relay compile twice
+        # object and pay the seconds-to-minutes relay compile twice.
+        # RLock: _fn_k/_fn_rows compose the base _fn while holding it.
         import threading
 
-        self._compile_lock = threading.Lock()
+        self._compile_lock = threading.RLock()
         # k-batch requests are bucketed to powers of two up to this cap,
         # so the compile cache holds at most log2(cap)+1 programs per
         # method no matter how ragged the request stream is (each compile
@@ -191,6 +193,10 @@ class Inferencer:
         return a
 
     def _fn(self, method: str):
+        with self._compile_lock:
+            return self._fn_locked(method)
+
+    def _fn_locked(self, method: str):
         if method not in self._compiled:
             model = self.model
             out_dtype = (self.io_dtype if self.io_dtype is not None
@@ -224,15 +230,18 @@ class Inferencer:
         key exists so bounds/warmup accounting and ExportedInferencer's
         fixed-shape programs line up."""
         key = (method, "r", r)
-        if key not in self._compiled:
-            self._compiled[key] = self._fn(method)
-        return self._compiled[key]
+        with self._compile_lock:
+            if key not in self._compiled:
+                self._compiled[key] = self._fn_locked(method)
+            return self._compiled[key]
 
     def _smallest_ready_rows(self, method: str):
         """Smallest row count some already-available program for
         ``method`` accepts (None if nothing is available yet) — empty
         requests route through it instead of compiling a fresh shape."""
-        rows = [k[2] for k in self._compiled
+        with getattr(self, "_compile_lock", contextlib.nullcontext()):
+            keys = list(self._compiled)
+        rows = [k[2] for k in keys
                 if isinstance(k, tuple) and len(k) == 3 and k[:2] == (method, "r")]
         if rows:
             return min(rows)
@@ -248,14 +257,15 @@ class Inferencer:
         warmup() can prime common sizes."""
         assert k > 1, "single-batch requests go through _fn directly"
         key = (method, k)
-        if key not in self._compiled:
-            apply = self._fn(method)
+        with self._compile_lock:
+            if key not in self._compiled:
+                apply = self._fn_locked(method)
 
-            def apply_k(params, xk):
-                return jax.lax.map(lambda xb: apply(params, xb), xk)
+                def apply_k(params, xk):
+                    return jax.lax.map(lambda xb: apply(params, xb), xk)
 
-            self._compiled[key] = jax.jit(apply_k)
-        return self._compiled[key]
+                self._compiled[key] = jax.jit(apply_k)
+            return self._compiled[key]
 
     def _dispatch(self, method: str, x: np.ndarray, n_keep: int):
         """Run one bucketed dispatch: pad the row count up to bucket*B
@@ -356,6 +366,18 @@ class Inferencer:
 
                 self._compiled[key] = jax.jit(apply_k)
             return self._compiled[key]
+
+    def supports_method(self, method: str) -> bool:
+        """True when this engine can serve ``method``. The HTTP front-end
+        checks this UP FRONT so capability gaps answer 404 without
+        relying on exception classes leaking out of inference code (an
+        incidental AttributeError/KeyError inside a traced apply must
+        stay a 500 server fault, not masquerade as a missing route)."""
+        if method == "generate":
+            # models/sampling.py wires generate onto the VAE families;
+            # the non-variational Autoencoder has no prior to sample
+            return callable(getattr(self.model, "generate", None))
+        return method in ("encode", "embed", "decode", "reconstruct")
 
     def generate(self, n: int, seed: int = 0) -> np.ndarray:
         """n decoded latent-prior samples (models/sampling.py), served
@@ -583,6 +605,14 @@ class ExportedInferencer(Inferencer):
                     )
                     programs[(method, "r", r)] = exp.call
         return cls(programs, params, manifest)
+
+    def supports_method(self, method: str) -> bool:
+        methods = set(self._manifest["methods"])
+        if method == "embed":
+            # embed is host-side sugar over the encode program
+            # (Inferencer.embed): available whenever encode is
+            return "encode" in methods
+        return method in methods
 
     def _fn(self, method: str):
         if method not in self._compiled:

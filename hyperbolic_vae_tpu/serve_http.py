@@ -431,20 +431,28 @@ class InferenceServer:
                     return
                 t_start = time.perf_counter()
                 engine = server.engines[model or server.default_name]
+                # capability gap answered UP FRONT (a bundle exported
+                # without generate programs, or a live model family with
+                # no generate method): 404, not a server fault. Checked
+                # by predicate, not by catching AttributeError/KeyError
+                # around inference — an incidental AttributeError inside
+                # a traced apply is a genuine bug and must surface as
+                # 500/inference_failed, not hide as a missing capability.
+                if not getattr(engine, "supports_method", lambda m: True)(
+                    "generate"
+                ):
+                    server.metrics.error("bad_request")
+                    self._reply_json(
+                        404,
+                        {"error": "generate unavailable on this engine"},
+                    )
+                    return
                 try:
                     if server.dispatcher is not None:
                         out = engine.generate(n, seed)
                     else:
                         with server._device_lock:
                             out = engine.generate(n, seed)
-                except (KeyError, AttributeError, NotImplementedError) as e:
-                    # capability gap, not a server fault: a bundle
-                    # exported without generate programs (KeyError) or a
-                    # live model family with no generate method
-                    # (AttributeError from model.apply)
-                    server.metrics.error("bad_request")
-                    self._reply_json(404, {"error": f"generate unavailable: {e}"})
-                    return
                 except Exception as e:
                     server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})
@@ -520,6 +528,16 @@ class InferenceServer:
                     return
                 t_start = time.perf_counter()
                 engine = server.engines[model or server.default_name]
+                # capability gap (e.g. a bundle exported without this
+                # method's programs) answered up front by predicate —
+                # exceptions out of inference itself are always server
+                # faults (500), never reclassified as missing routes
+                if not getattr(engine, "supports_method", lambda m: True)(name):
+                    server.metrics.error("bad_request")
+                    self._reply_json(
+                        404, {"error": f"{name} unavailable on this engine"}
+                    )
+                    return
                 try:
                     if server.dispatcher is not None:
                         out = _to_arrays(
@@ -528,16 +546,6 @@ class InferenceServer:
                     else:
                         with server._device_lock:
                             out = _to_arrays(getattr(engine, name)(x))
-                except (KeyError, NotImplementedError) as e:
-                    # capability gap (e.g. a bundle exported without this
-                    # method's programs), not a server fault — mirror the
-                    # generate endpoint's 404 so clients can tell the two
-                    # apart and the error metric stays meaningful
-                    server.metrics.error("bad_request")
-                    self._reply_json(
-                        404, {"error": f"{name} unavailable on this engine: {e}"}
-                    )
-                    return
                 except Exception as e:
                     server.metrics.error("inference_failed")
                     self._reply_json(500, {"error": f"inference failed: {e}"})

@@ -806,17 +806,27 @@ class Trainer:
             for cb in self.callbacks:
                 if hasattr(cb, "on_epoch_end"):
                     cb.on_epoch_end(self, epochs_run - 1, params, history[-1])
-            if self._ckpt_mgr:
+            # completed runs are never "interrupted", even if the wall
+            # budget expired during the final chunk (mirrors the former
+            # K=1 host loop / streaming semantics)
+            reason = (None if epochs_run >= self.max_epochs
+                      else self._external_stop())
+            # state_every_n_epochs cadence (the former K=1 host loop's
+            # contract, same as streaming.py): save full resume state
+            # when this chunk crossed a cadence point — at K=1 exactly
+            # "(epoch+1) % n == 0" — and unconditionally at early stops,
+            # graceful stops, and run completion
+            cadence_hit = (
+                epochs_run // self.state_every_n_epochs
+                > chunk_start // self.state_every_n_epochs
+            )
+            if self._ckpt_mgr and (
+                cadence_hit or stop or reason or epochs_run >= self.max_epochs
+            ):
                 self._save_resume_state(params, opt_state, key, epochs_run - 1)
             if stop:
                 break
-            # completed runs are never "interrupted", even if the wall
-            # budget expired during the final chunk (mirrors the K=1 path)
-            reason = (None if epochs_run >= self.max_epochs
-                      else self._external_stop())
             if reason:
-                # graceful stop at chunk granularity: resume state for
-                # this chunk is already saved above
                 self._stop_reason = reason
                 logger.warning(
                     "graceful stop after epoch %d: %s", epochs_run - 1, reason

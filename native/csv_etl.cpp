@@ -122,6 +122,20 @@ inline const char* find_comma(const char* p, const char* end) {
   return nullptr;
 }
 
+// Fast path for rows verified to contain no '"' at all (the overwhelming
+// case for numeric TPM matrices): plain SIMD memchr. Callers check for a
+// quote ONCE per row (one vectorized scan) and only fall back to the
+// byte-at-a-time quote-aware walk when the row actually carries one —
+// keeping the multithreaded scan memchr-bound, not branch-bound.
+inline const char* find_comma_in(const char* p, const char* end,
+                                 bool has_quote) {
+  if (!has_quote) {
+    return static_cast<const char*>(
+        memchr(p, ',', static_cast<size_t>(end - p)));
+  }
+  return find_comma(p, end);
+}
+
 // Parse one field as float32, honoring surrounding whitespace, an
 // optional CR (CRLF files), and RFC-4180 quoting ("1234.5"). Unparseable
 // fields yield NaN (one missing value must not fail the file). `end` is
@@ -194,8 +208,10 @@ int hvae_csv_shape(const char* path, int skip_header, int skip_cols,
   if (end == std::string::npos) end = fm.data.size();
   const char* p = fm.data.data() + begin;
   const char* line_end = fm.data.data() + end;
+  const bool has_quote =
+      memchr(p, '"', static_cast<size_t>(line_end - p)) != nullptr;
   int64_t commas = 0;
-  while ((p = find_comma(p, line_end)) != nullptr) {
+  while ((p = find_comma_in(p, line_end, has_quote)) != nullptr) {
     ++commas;
     ++p;
   }
@@ -226,16 +242,21 @@ int hvae_csv_read_f32(const char* path, int skip_header, int skip_cols,
       const char* line_end = static_cast<const char*>(
           memchr(p, '\n', static_cast<size_t>(file_end - p)));
       if (!line_end) line_end = file_end;
+      // one vectorized quote probe per row picks the scan: memchr for
+      // quote-free rows (the normal numeric-matrix case), the RFC-4180
+      // quote-aware walk otherwise
+      const bool has_quote =
+          memchr(p, '"', static_cast<size_t>(line_end - p)) != nullptr;
       // skip leading (index) columns — quote-aware: a comma inside a
       // quoted gene symbol must not shift the whole row
       for (int s = 0; s < skip_cols; ++s) {
-        const char* comma = find_comma(p, line_end);
+        const char* comma = find_comma_in(p, line_end, has_quote);
         if (!comma) { error.store(3); return; }  // ragged: too few fields
         p = comma + 1;
       }
       float* dst = out + r * cols;
       for (int64_t cidx = 0; cidx < cols; ++cidx) {
-        const char* comma = find_comma(p, line_end);
+        const char* comma = find_comma_in(p, line_end, has_quote);
         const char* field_end = comma ? comma : line_end;
         if (!comma && cidx + 1 < cols) { error.store(4); return; }  // ragged: too few fields
         if (comma && cidx + 1 == cols) { error.store(5); return; }  // ragged: EXTRA fields

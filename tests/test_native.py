@@ -103,6 +103,13 @@ def _pandas_f32(path):
         ),
         # no final newline
         ("no_final_newline", "g,c1,c2\ng1,1.5,2.5\ng2,3.5,4.5"),
+        # mix of quoted and quote-free rows: the per-row quote probe
+        # (round-5 session-3: memchr fast path for quote-free rows) must
+        # route each row through the right scan within one file
+        (
+            "mixed_quote_rows",
+            'g,c1,c2\n"g,1","1.5",2.5\ng2,3.5,4.5\ng3,5.5,6.5\n',
+        ),
         # uniform trailing delimiter: both readers see one extra all-NaN
         # column (pandas shifts the header but the VALUES agree)
         ("trailing_delim_all", "g,c1,c2\ng1,1.5,2.5,\ng2,3.5,4.5,\n"),

@@ -280,3 +280,29 @@ def test_ensemble_preempt_signal(dm, tmp_path):
     r = trainer.fit_ensemble(dm, [0, 1], epochs_per_dispatch=1)
     assert all(x.interrupted and "SIGUSR1" in x.stop_reason for x in r)
     assert all(x.epochs_run < 50 for x in r)
+
+
+def test_state_every_n_epochs_cadence(dm, tmp_path):
+    """state_every_n_epochs throttles full-resume-state saves on the
+    single-engine (chunked) fit path: saves land only when a chunk
+    crosses the cadence, plus unconditionally at stops and completion
+    (round-5 session-3 review: the engine collapse had made the cadence
+    a silent no-op, writing params+opt_state every epoch)."""
+    saved = []
+    t = _trainer(dm, str(tmp_path / "c1"), state_every_n_epochs=3)
+    orig = t._save_resume_state
+    t._save_resume_state = lambda *a: (saved.append(a[3]), orig(*a))[1]
+    t.fit(dm)
+    # max_epochs=5, K=1: cadence crossing after epoch 2 (3 epochs run),
+    # completion save after epoch 4 — NOT one save per epoch
+    assert saved == [2, 4]
+
+    saved_k = []
+    t2 = _trainer(dm, str(tmp_path / "c2"), state_every_n_epochs=3,
+                  epochs_per_dispatch=2)
+    orig2 = t2._save_resume_state
+    t2._save_resume_state = lambda *a: (saved_k.append(a[3]), orig2(*a))[1]
+    t2.fit(dm)
+    # chunks end after epochs 1/3/4 (0-based): the 2nd chunk (epochs 2-3)
+    # crosses the cadence; completion still saves
+    assert saved_k == [3, 4]

@@ -599,3 +599,39 @@ def test_capability_gap_404_wire_400_and_shutdown_before_start(served, tmp_path)
     t0 = _time.monotonic()
     s3.shutdown()
     assert _time.monotonic() - t0 < 5.0
+
+
+def test_incidental_bug_is_500_not_404(served, monkeypatch):
+    """Round-5 session-3 review: capability gaps are answered by an
+    UP-FRONT supports_method predicate, so an incidental AttributeError
+    or KeyError raised INSIDE inference surfaces as 500 inference_failed
+    (a genuine server fault), never reclassified as a 404 capability
+    gap that monitoring would read as a client error."""
+    dm, inf, server = served
+
+    def boom(x):
+        raise AttributeError("incidental bug inside inference")
+
+    monkeypatch.setattr(inf, "embed", boom)
+    req = urllib.request.Request(
+        _url(server, "/v1/embed"),
+        data=json.dumps({"data": dm.x_train[:2].tolist()}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 500
+    assert "inference failed" in json.loads(e.value.read())["error"]
+
+    def boom_gen(n, seed=0):
+        raise KeyError("incidental KeyError inside generate")
+
+    monkeypatch.setattr(inf, "generate", boom_gen)
+    req = urllib.request.Request(
+        _url(server, "/v1/generate"),
+        data=json.dumps({"n": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 500

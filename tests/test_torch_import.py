@@ -600,6 +600,41 @@ def test_unconsumed_source_weights_raise():
         import_torch_state_dict(model, sd2)
 
 
+def test_geoopt_curvature_params_validated_not_rejected():
+    """Authentic geoopt checkpoints carry the ball curvature as an
+    nn.Parameter under EVERY module holding the manifold (the reference
+    assigns the ball as a submodule, vae_hyperbolic_gyroplane_decoder.py
+    :58 — so real state_dicts have 'manifold.k', 'decoder.0.ball.k',
+    ...; geoopt Stereographic stores k = -c). Round-5 session-3 review:
+    the unconsumed-weights audit must treat these as validated geometry
+    hyperparameters, not reject every authentic checkpoint."""
+    torch.manual_seed(10)
+    t = _TorchFlagship(numel=28 * 28)
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    sd["manifold.k"] = np.asarray(-1.0, np.float32)
+    sd["decoder.0.ball.k"] = np.asarray([-1.0], np.float32)
+    sd["mu.1.manifold.isp_c"] = np.asarray(1.0, np.float32)
+    model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2)
+    params = import_torch_state_dict(model, sd)
+    assert "kernel" in params["mu"]
+
+    # curvature mismatch is a wrong-pairing error, not a silent accept
+    sd_bad = dict(sd)
+    sd_bad["manifold.k"] = np.asarray(-2.5, np.float32)
+    with pytest.raises(ValueError, match="curvature"):
+        import_torch_state_dict(model, sd_bad)
+
+
+def test_curvature_param_on_euclidean_target_raises():
+    torch.manual_seed(11)
+    t = _TorchEuclidean()
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    sd["manifold.k"] = np.asarray(-1.0, np.float32)
+    model = EuclideanVAE(data_shape=(32, 32, 3), hidden_size=4, latent_dim=2)
+    with pytest.raises(ValueError, match="Euclidean"):
+        import_torch_state_dict(model, sd)
+
+
 def test_unsafe_pickle_fallback_is_opt_in(tmp_path):
     """weights_only=True failures must NOT silently fall back to full
     pickle (which executes code embedded in the file) — the fallback
