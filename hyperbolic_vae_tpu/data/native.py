@@ -82,6 +82,8 @@ _READ_ERRORS = {
     4: "ragged row: a row has FEWER value fields than the first data row",
     5: "ragged row: a row has MORE fields than the first data row "
        "(trailing delimiter or unquoted comma?)",
+    6: "unterminated quote in a row (embedded newline in a quoted "
+       "field? use the pandas reader for such files)",
 }
 
 
@@ -96,9 +98,11 @@ def read_csv_matrix(
     endings parse identically to pandas; unparseable VALUES ("NA", "",
     junk) become NaN; structurally ragged ROWS raise RuntimeError.
     Known limit: a quoted field containing an embedded NEWLINE (legal
-    RFC-4180, accepted by pandas) is split by the physical-line scanner
-    and rejected as a ragged row — loud, never a silent mis-parse; route
-    such files through the pandas fallback."""
+    RFC-4180, accepted by pandas) is rejected loudly — the physical-line
+    scanner splits such rows, so every row with an odd quote count
+    (unterminated quote) raises RuntimeError (code 6) rather than risk a
+    silent mis-parse when the fragments' field counts happen to line up;
+    route such files through the pandas fallback."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built; run `make -C native`")

@@ -408,6 +408,7 @@ class _TrackedDict(dict):
 
 
 _CURVATURE_LEAVES = ("k", "c", "isp_k", "isp_c")
+_CURVATURE_PARENTS = ("manifold", "ball")
 
 
 def _model_curvature(model):
@@ -417,6 +418,33 @@ def _model_curvature(model):
         if v:
             return float(v)
     return None
+
+
+def _source_curvature(key: str, raw: float) -> float:
+    """Ball curvature c (>0) from a geoopt curvature entry, honoring the
+    parameterization the leaf name declares:
+
+      ``c``            the ball curvature directly (c > 0)
+      ``k``            sectional curvature, k = -c for a Poincaré ball —
+                       a POSITIVE k is spherical geometry and must not
+                       silently import into a hyperbolic target
+      ``isp_c/isp_k``  softplus-inverse storage (geoopt keeps the
+                       learnable curvature as isp_c with
+                       c = softplus(isp_c), so an authentic c=1.0
+                       checkpoint carries isp_c ~= 0.5413)
+    """
+    leaf = key.split(".")[-1]
+    if leaf in ("isp_c", "isp_k"):
+        return float(np.logaddexp(0.0, raw))  # softplus
+    if leaf == "k":
+        if raw > 0:
+            raise ValueError(
+                f"source curvature {key!r} is k={raw} > 0 (SPHERICAL "
+                f"geometry); the target expects a Poincaré ball (k<0) — "
+                f"wrong source/target pairing"
+            )
+        return -raw
+    return raw  # leaf == "c"
 
 
 def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
@@ -446,26 +474,36 @@ def import_torch_state_dict(model, sd: Dict[str, np.ndarray]):
     # decoder.py:58 assign the ball as a submodule). They are geometry
     # hyperparameters, not weights: validate them against the target
     # model's curvature instead of rejecting them as unconsumed.
-    curv_keys = {
-        k
-        for k in leftover
-        if k.split(".")[-1] in _CURVATURE_LEAVES
-        and np.asarray(dict.__getitem__(tracked, k)).size == 1
-    }
+    # only leaves under a module actually named for the manifold count
+    # as curvature (parent 'manifold'/'ball', the geoopt registration
+    # paths) — a stray unmapped scalar that merely ENDS in .k/.c must
+    # still fail the unconsumed-weights audit, not be swallowed here
+    def _is_curvature_key(k):
+        parts = k.split(".")
+        return (
+            parts[-1] in _CURVATURE_LEAVES
+            and len(parts) >= 2
+            and parts[-2] in _CURVATURE_PARENTS
+            and np.asarray(dict.__getitem__(tracked, k)).size == 1
+        )
+
+    curv_keys = {k for k in leftover if _is_curvature_key(k)}
     c_model = _model_curvature(model)
     for k in sorted(curv_keys):
-        c_src = abs(float(np.asarray(dict.__getitem__(tracked, k)).reshape(())))
+        raw = float(np.asarray(dict.__getitem__(tracked, k)).reshape(()))
+        c_src = _source_curvature(k, raw)
         if c_model is None:
             raise ValueError(
                 f"source checkpoint carries a manifold curvature parameter "
                 f"{k!r} (c={c_src}) but the target {name} has a Euclidean "
                 f"latent — wrong source/target pairing"
             )
-        if not np.isclose(c_src, c_model, rtol=1e-5, atol=1e-8):
+        if not np.isclose(c_src, c_model, rtol=1e-5, atol=1e-6):
             raise ValueError(
-                f"source curvature {k!r} is {c_src} but the target {name} "
-                f"was constructed with curvature {c_model}; rebuild the "
-                f"target with the checkpoint's curvature"
+                f"source curvature {k!r} is c={c_src:.6g} (raw {raw:.6g}) "
+                f"but the target {name} was constructed with curvature "
+                f"{c_model}; rebuild the target with the checkpoint's "
+                f"curvature"
             )
     unconsumed = sorted(leftover - curv_keys)
     if unconsumed:

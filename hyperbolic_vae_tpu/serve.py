@@ -33,7 +33,6 @@ builds one straight from a self-describing Orbax checkpoint
 
 from __future__ import annotations
 
-import contextlib
 from typing import Optional
 
 import jax
@@ -239,7 +238,7 @@ class Inferencer:
         """Smallest row count some already-available program for
         ``method`` accepts (None if nothing is available yet) — empty
         requests route through it instead of compiling a fresh shape."""
-        with getattr(self, "_compile_lock", contextlib.nullcontext()):
+        with self._compile_lock:
             keys = list(self._compiled)
         rows = [k[2] for k in keys
                 if isinstance(k, tuple) and len(k) == 3 and k[:2] == (method, "r")]
@@ -556,8 +555,14 @@ class ExportedInferencer(Inferencer):
     padding/bucketing front-end is inherited unchanged."""
 
     def __init__(self, programs: dict, params, manifest: dict):
+        import threading
+
         self.model = None
         self.mesh = None
+        # the class contract: _compile_lock guards _compiled on every
+        # Inferencer (bundle programs are pre-built, but inherited
+        # helpers iterate/read _compiled under the lock)
+        self._compile_lock = threading.RLock()
         io = manifest.get("io_dtype")  # absent in pre-round-4 bundles
         self.io_dtype = None if io is None else jnp.dtype(io)
         self.batch_size = int(manifest["batch_size"])

@@ -210,6 +210,15 @@ int hvae_csv_shape(const char* path, int skip_header, int skip_cols,
   const char* line_end = fm.data.data() + end;
   const bool has_quote =
       memchr(p, '"', static_cast<size_t>(line_end - p)) != nullptr;
+  if (has_quote) {
+    int64_t nq = 0;
+    for (const char* q = p; (q = static_cast<const char*>(memchr(
+             q, '"', static_cast<size_t>(line_end - q)))) != nullptr;
+         ++q) {
+      ++nq;
+    }
+    if (nq & 1) return 6;  // unterminated quote on the first data line
+  }
   int64_t commas = 0;
   while ((p = find_comma_in(p, line_end, has_quote)) != nullptr) {
     ++commas;
@@ -247,6 +256,21 @@ int hvae_csv_read_f32(const char* path, int skip_header, int skip_cols,
       // quote-aware walk otherwise
       const bool has_quote =
           memchr(p, '"', static_cast<size_t>(line_end - p)) != nullptr;
+      if (has_quote) {
+        // RFC-4180 rows always carry an EVEN number of quotes (field
+        // wrappers + doubled escapes). An odd count means an
+        // unterminated quote — most often a quoted field with an
+        // embedded newline, which the physical-line scanner splits into
+        // fragments whose field counts can ACCIDENTALLY line up and
+        // mis-parse silently. Reject loudly instead (code 6).
+        int64_t nq = 0;
+        for (const char* q = p; (q = static_cast<const char*>(memchr(
+                 q, '"', static_cast<size_t>(line_end - q)))) != nullptr;
+             ++q) {
+          ++nq;
+        }
+        if (nq & 1) { error.store(6); return; }
+      }
       // skip leading (index) columns — quote-aware: a comma inside a
       // quoted gene symbol must not shift the whole row
       for (int s = 0; s < skip_cols; ++s) {

@@ -138,6 +138,16 @@ def test_adversarial_csv_matches_pandas(tmp_path, name, text):
         ("ragged_extra", "g,c1,c2\ng1,1.5,2.5\ng2,3.5,4.5,9.9\n", "MORE"),
         # a row missing the index column entirely
         ("ragged_noindex", "g,c1,c2\ng1,1.5,2.5\nnocommas\n", "index columns"),
+        # embedded newline in a quoted LAST field: the physical-line
+        # split can leave fragments whose field counts line up, so the
+        # odd-quote-count (unterminated quote) check must reject loudly
+        # (round-5 session-3 second review: this mis-parsed SILENTLY to
+        # a 3x2 matrix while pandas reads 2x2)
+        (
+            "embedded_newline_quoted",
+            'g,c1,c2\ng1,1.5,"a\nb,9,8"\ng2,3.5,4.5\n',
+            "unterminated quote",
+        ),
     ],
 )
 def test_ragged_rows_rejected_loudly(tmp_path, name, text, code):

@@ -613,7 +613,11 @@ def test_geoopt_curvature_params_validated_not_rejected():
     sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
     sd["manifold.k"] = np.asarray(-1.0, np.float32)
     sd["decoder.0.ball.k"] = np.asarray([-1.0], np.float32)
-    sd["mu.1.manifold.isp_c"] = np.asarray(1.0, np.float32)
+    # softplus-inverse storage (geoopt's learnable-curvature form):
+    # an authentic c=1.0 checkpoint carries isp_c = log(e^1 - 1)
+    sd["mu.1.manifold.isp_c"] = np.asarray(
+        np.log(np.expm1(1.0)), np.float32
+    )
     model = GyroplaneVAE(data_shape=(28, 28, 1), latent_dim=2)
     params = import_torch_state_dict(model, sd)
     assert "kernel" in params["mu"]
@@ -623,6 +627,19 @@ def test_geoopt_curvature_params_validated_not_rejected():
     sd_bad["manifold.k"] = np.asarray(-2.5, np.float32)
     with pytest.raises(ValueError, match="curvature"):
         import_torch_state_dict(model, sd_bad)
+
+    # k > 0 is SPHERICAL geometry — must not abs() into a ball import
+    sd_sph = dict(sd)
+    sd_sph["manifold.k"] = np.asarray(1.0, np.float32)
+    with pytest.raises(ValueError, match="SPHERICAL"):
+        import_torch_state_dict(model, sd_sph)
+
+    # a stray unmapped scalar merely ENDING in .c/.k is NOT curvature —
+    # it must still fail the unconsumed-weights audit
+    sd_stray = dict(sd)
+    sd_stray["temperature.c"] = np.asarray(1.0, np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        import_torch_state_dict(model, sd_stray)
 
 
 def test_curvature_param_on_euclidean_target_raises():
