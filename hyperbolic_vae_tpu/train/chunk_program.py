@@ -45,22 +45,31 @@ def build_chunk_body(trainer, train_body, eval_full, k: int,
     """The unjitted K-epoch chunk program over the shared epoch-body
     contract (epoch_program.build_epoch_fns' ``train_body``/``eval_full``).
 
-    Epochs after an in-graph stop are skipped via lax.cond (no wasted
-    FLOPs); the epoch counter freezes, which is how the host learns how
-    many epochs actually ran. ``ctrl`` is the dict from init_ctrl,
-    threaded through chunks.
+    After an in-graph stop the epoch counter freezes, which is how the
+    host learns how many epochs actually ran; metric rows for skipped
+    epochs are NaN. ``ctrl`` is the dict from init_ctrl, threaded
+    through chunks.
 
-    ``masked_skip=True`` replaces the lax.cond with an unconditional
-    epoch whose OUTPUTS are masked by ``where(active, ...)`` — the
-    values that leave the epoch are bit-identical (the cond's do-branch
-    computes exactly these), only the skip cost model changes: the
-    masked form always pays the epoch FLOPs. Use it for the VMAPPED
-    ensemble program, where a batched-predicate cond cannot lower to a
-    real branch anyway (both branches execute and per-lane select
-    follows) — measured on-chip, the batched cond costs ~5x the bodies
-    it guards (benchmarks/ENSEMBLE_LAYOUT_AB.json, round 5); the masked
-    form gives the ensemble the same program shape the single-seed
-    chunk gets from its scalar cond.
+    Two skip mechanisms, bit-identical in VALUES (pinned by
+    tests/test_ensemble.py::test_masked_skip_body_bitmatches_cond_body),
+    different in cost model:
+
+    ``masked_skip=True`` (the production default — Trainer._chunk_fn
+    AND the vmapped ensemble) runs the epoch unconditionally and masks
+    the outputs with ``where(active, ...)``; stopped epochs pay their
+    FLOPs (bounded: the host loop exits after the stopping chunk).
+    Chosen on measurement twice over: for vmapped lanes a
+    batched-predicate cond cannot lower to a real branch (both branches
+    execute + per-lane select; the cond cost ~5x the bodies it guarded,
+    ENSEMBLE_LAYOUT_AB.json), and for single-seed chunks the scalar
+    HLO conditional inside the epoch scan still cost +5.0 ms/epoch on
+    the b256 flagship — ~50% of the epoch it wrapped
+    (TRAINER_OVERHEAD_AB2.json, round 5).
+
+    ``masked_skip=False`` wraps the epoch in a scalar lax.cond — no
+    FLOPs after a stop. Useful when K is large relative to the
+    expected stop epoch and the per-epoch conditional tax is
+    acceptable (not the measured trade on this backend).
     """
     # the in-graph controllers/best tracking read the monitored metric
     # from the chunk's own metric folds: val/* from the eval fold, or

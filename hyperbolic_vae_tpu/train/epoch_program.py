@@ -67,6 +67,7 @@ def build_epoch_fns(trainer, n_train: int, batch_size: int, n_val: int):
     train_step_fn = trainer.train_step_fn
     grad_accum = trainer.grad_accum_steps
     grad_clip = trainer.grad_clip_norm
+    finite_guard = getattr(trainer, "finite_guard", True)
     if grad_accum > 1 and batch_size % grad_accum:
         raise ValueError(
             f"batch_size {batch_size} not divisible by "
@@ -160,25 +161,36 @@ def build_epoch_fns(trainer, n_train: int, batch_size: int, n_val: int):
                 return (params, opt_state, skey), metrics
 
             loss, metrics, grads = grads_and_metrics(params, batch, sk, hp)
-            gnorm = optax.global_norm(grads)
+            if finite_guard or grad_clip is not None:
+                gnorm = optax.global_norm(grads)
             if grad_clip is not None:
                 # one shared scale (torch clip_grad_norm_ semantics);
                 # a non-finite gnorm leaves grads non-finite and the
                 # ok-guard below skips the step as before
                 scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
                 grads = jax.tree.map(lambda g: g * scale, grads)
-            # failure containment (SURVEY 5.2): a non-finite loss or
-            # gradient skips the update instead of poisoning params —
-            # the jit-world version of "probe_infnan then continue".
-            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
-            opt_state = jax.tree.map(
-                lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
-            )
-            metrics = dict(metrics, skipped_steps=1.0 - ok.astype(jnp.float32))
-            return (params, opt_state, skey), metrics
+            if finite_guard:
+                # failure containment (SURVEY 5.2): a non-finite loss or
+                # gradient skips the update instead of poisoning params —
+                # the jit-world version of "probe_infnan then continue".
+                # Trainer(finite_guard=False) drops this block (measured
+                # 2.5 ms/epoch on the b256 flagship — the tiny-leaf
+                # where-selects are serial VPU latency; values identical
+                # while training stays finite, TRAINER_OVERHEAD_AB.json).
+                ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+                new_params = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_params, params
+                )
+                new_opt_state = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state
+                )
+                skipped = 1.0 - ok.astype(jnp.float32)
+            else:
+                skipped = jnp.zeros((), jnp.float32)
+            metrics = dict(metrics, skipped_steps=skipped)
+            return (new_params, new_opt_state, skey), metrics
 
         (params, opt_state, _), ms = jax.lax.scan(
             step, (params, opt_state, sample_key), scan_xs

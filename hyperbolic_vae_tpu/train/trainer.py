@@ -107,6 +107,7 @@ class Trainer:
         max_wall_seconds: Optional[float] = None,  # graceful stop once fit() exceeds this budget (checked at epoch/chunk boundaries; full resume state saved)
         preempt_signals: Sequence[int] = (),  # e.g. (signal.SIGTERM,): handle these as graceful-stop requests during fit (train/preemption.py)
         hbm_limit_bytes: Optional[int] = None,  # HBM preflight override (None = query the device; tests inject a fake limit)
+        finite_guard: bool = True,  # in-graph non-finite step skip (SURVEY 5.2). False removes the per-step global_norm + isfinite + where-selects from the train step — measured 2.5 ms/epoch on the b256 flagship (TRAINER_OVERHEAD_AB.json, ~28% of its production epoch); values are bit-identical while training stays finite, but a non-finite step then poisons params (torch/Lightning default behavior) instead of being skipped
     ):
         assert shuffle in ("row", "block"), shuffle
         self.shuffle = shuffle
@@ -247,6 +248,7 @@ class Trainer:
         self.monitor = monitor
         self.callbacks = list(callbacks)
         self.check_finite = check_finite
+        self.finite_guard = bool(finite_guard)
         self.log_every_n_epochs = log_every_n_epochs
         # jax.profiler trace of epoch 1 (post-compile) -> TensorBoard/XProf
         # (the reference ships torch-tb-profiler but never wires it,
@@ -294,8 +296,8 @@ class Trainer:
         self._epoch_fns_cache = {}
         self._body_fns_cache = {}  # unjitted bodies (filled by _build_epoch_fns)
         self._chunk_fn_cache = {}
-        self._chunk_body_cache = {}  # unjitted cond-skip chunk bodies (probes; the
-        # vmapped ensemble builds its own masked-skip body, train/ensemble.py)
+        self._chunk_body_cache = {}  # unjitted masked-skip chunk bodies (probes;
+        # the vmapped ensemble builds its own, train/ensemble.py)
         self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
         self.metric_logger = MetricLogger(log_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -380,7 +382,20 @@ class Trainer:
         best-params tracking + IN-GRAPH controllers), bit-identical to
         the K=1 loop for ANY K. Cached per (shape, k, schedule); the
         UNJITTED body is kept for probes (the vmapped ensemble builds its
-        own masked-skip body — train/ensemble.py _ens_chunk_fn)."""
+        own masked-skip body — train/ensemble.py _ens_chunk_fn).
+
+        masked_skip=True (round 5): the per-epoch early-stop skip runs
+        the epoch unconditionally and where-masks the outputs instead of
+        wrapping it in a scalar lax.cond — values bit-identical (pinned
+        by tests/test_ensemble.py::test_masked_skip_body_bitmatches_
+        cond_body), but on the axon TPU backend the scalar-predicate
+        HLO conditional inside the epoch scan costs +5.0 ms/epoch over
+        the masked body on the b256 flagship (~50% of the epoch it
+        wraps, TRAINER_OVERHEAD_AB2.json) — the single-seed twin of the
+        vmapped batched-cond finding (ENSEMBLE_LAYOUT_AB.json). Cost
+        model: epochs after an in-graph stop now pay their FLOPs, but
+        the host loop exits after the stopping chunk, so the waste is
+        bounded by K-1 epochs once per fit."""
         cache_key = self._chunk_cache_key(n_train, batch_size, n_val, k)
         if cache_key in self._chunk_fn_cache:
             return self._chunk_fn_cache[cache_key]
@@ -388,7 +403,7 @@ class Trainer:
 
         self._epoch_fns(n_train, batch_size, n_val)  # fills _body_fns_cache
         train_body, eval_full = self._body_fns_cache[(n_train, batch_size, n_val)]
-        chunk = build_chunk_body(self, train_body, eval_full, k)
+        chunk = build_chunk_body(self, train_body, eval_full, k, masked_skip=True)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2))
         self._chunk_body_cache[cache_key] = chunk
         self._chunk_fn_cache[cache_key] = fn

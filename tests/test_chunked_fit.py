@@ -11,7 +11,9 @@ epochs; scanning K epochs in one compiled program took the flagship from
     holds across LR drops and early stops, not just constant-LR runs,
   * in-graph best-params tracking selects the same best epoch,
   * early stopping fires at the SAME epoch as K=1 (epochs after the stop
-    are cond-skipped in-graph),
+    are skipped in-graph — round 5: via the masked-skip body, whose
+    values are bit-identical to the scalar-cond body it replaced;
+    TRAINER_OVERHEAD_AB2.json measured the cond at +5.0 ms/epoch),
   * the tail chunk is compiled at the trimmed length, so training never
     runs past max_epochs (final params bit-match K=1),
   * the in-graph eval tail fold matches the host-side fold when
@@ -224,3 +226,54 @@ def test_chunked_skips_nonfinite_steps(dm):
     assert max(skipped) > 0  # the poisoned batch was skipped, not applied
     for leaf in jax.tree.leaves(r.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_finite_guard_off_bitmatches_when_finite(dm):
+    """Trainer(finite_guard=False) removes the per-step isfinite
+    skip-guard (measured 2.5 ms/epoch on the flagship,
+    TRAINER_OVERHEAD_AB.json). While training stays finite the guard's
+    where-selects pick the updated values, so histories and params must
+    be BIT-identical with the guard on or off — at K=1 and K>1."""
+    for k in (1, 3):
+        runs = {}
+        for guard in (True, False):
+            model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+            trainer = Trainer(
+                model, max_epochs=4, early_stopping_patience=None,
+                plateau_patience=1000, epochs_per_dispatch=k,
+                finite_guard=guard,
+            )
+            runs[guard] = trainer.fit(dm)
+        for ha, hb in zip(runs[True].history, runs[False].history):
+            assert ha["train/loss_total"] == hb["train/loss_total"]
+            assert ha["val/loss_total"] == hb["val/loss_total"]
+            assert hb["train/skipped_steps"] == 0.0
+        for a, b in zip(
+            jax.tree.leaves(runs[True].params), jax.tree.leaves(runs[False].params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finite_guard_off_really_removes_the_guard(dm):
+    """Negative contract: with finite_guard=False a poisoned batch is NOT
+    skipped — the NaN propagates into params (torch/Lightning default
+    behavior, the documented trade for the 2.5 ms/epoch)."""
+    x_bad = dm.x_train.copy()
+    x_bad[5] = np.nan
+    from hyperbolic_vae_tpu.data.core import ArrayDataModule
+
+    dm_bad = ArrayDataModule(
+        x_train=x_bad, y_train=dm.y_train, x_val=dm.x_val, y_val=dm.y_val,
+        x_test=dm.x_test, y_test=dm.y_test, batch_size=dm.batch_size,
+    )
+    model = GyroplaneVAE(data_shape=dm.input_shape, latent_dim=2)
+    trainer = Trainer(
+        model, max_epochs=2, early_stopping_patience=None,
+        plateau_patience=1000, check_finite=False, finite_guard=False,
+        shuffle="row",  # every sample visited -> the NaN row is hit
+    )
+    r = trainer.fit(dm_bad)
+    finite = all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(r.params)
+    )
+    assert not finite  # the guard is really gone
